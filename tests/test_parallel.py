@@ -1,0 +1,78 @@
+"""Multi-device data-parallel tests on the 8-device virtual CPU mesh —
+the TPU analog of testing DDP without a cluster (SURVEY §4 item 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from handnet_tpu.config import A2JConfig, TrainConfig
+from handnet_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from handnet_tpu.train.trainer import A2JTrainer
+
+
+def test_mesh_has_8_devices():
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_batch_places_on_devices(rng):
+    mesh = create_mesh()
+    batch = {"x": jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))}
+    sharded = shard_batch(mesh, batch)
+    assert sharded["x"].sharding.num_devices == 8
+
+
+def test_a2j_dp_train_step_matches_single_device(rng):
+    """The mesh-sharded step must compute the same update as single-device:
+    data parallelism is an implementation detail, not a semantics change."""
+    model_cfg = A2JConfig(crop_h=32, crop_w=32, num_joints=3)
+    train_cfg = TrainConfig(bf16=False, lr=1e-3)
+
+    mesh = create_mesh(8)
+    trainer_dp = A2JTrainer(model_cfg, train_cfg, mesh=mesh, steps_per_epoch=10)
+    trainer_1 = A2JTrainer(model_cfg, train_cfg, mesh=None, steps_per_epoch=10)
+
+    state_dp = trainer_dp.init_state(jax.random.PRNGKey(0))
+    state_1 = trainer_1.init_state(jax.random.PRNGKey(0))
+
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(8, 32, 32, 1)).astype(np.float32)),
+        "jt_uvd": jnp.asarray(rng.uniform(0, 32, size=(8, 3, 3)).astype(np.float32)),
+    }
+    batch_dp = shard_batch(mesh, batch)
+
+    state_dp, metrics_dp = trainer_dp.train_step(state_dp, batch_dp)
+    state_1, metrics_1 = trainer_1.train_step(state_1, batch)
+
+    np.testing.assert_allclose(float(metrics_dp["total_loss"]),
+                               float(metrics_1["total_loss"]), rtol=1e-4)
+    # spot-check a parameter leaf. Cross-device psum changes fp reduction
+    # order, so near-zero gradients can flip an Adam step's sign — allow up
+    # to one lr-sized step of divergence on a few elements, but require the
+    # bulk of the update to be identical.
+    leaf_dp = np.asarray(jax.tree_util.tree_leaves(state_dp.params)[0])
+    leaf_1 = np.asarray(jax.tree_util.tree_leaves(state_1.params)[0])
+    diff = np.abs(leaf_dp - leaf_1)
+    assert diff.max() <= 2.5 * train_cfg.lr
+    assert np.mean(diff < 1e-5) > 0.8
+
+
+def test_a2j_dp_step_runs_two_steps(rng):
+    model_cfg = A2JConfig(crop_h=32, crop_w=32, num_joints=3)
+    mesh = create_mesh(8)
+    trainer = A2JTrainer(model_cfg, TrainConfig(bf16=False), mesh=mesh,
+                         steps_per_epoch=10)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(16, 32, 32, 1)).astype(np.float32)),
+        "jt_uvd": jnp.asarray(rng.uniform(0, 32, size=(16, 3, 3)).astype(np.float32)),
+    }
+    batch = shard_batch(mesh, batch)
+    l0 = None
+    for _ in range(2):
+        state, metrics = trainer.train_step(state, batch)
+        if l0 is None:
+            l0 = float(metrics["total_loss"])
+    assert int(state.step) == 2
+    assert np.isfinite(float(metrics["total_loss"]))
