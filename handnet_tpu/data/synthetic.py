@@ -1,0 +1,103 @@
+"""Synthetic DexYCB-format fixture generator.
+
+Writes a miniature dataset tree byte-compatible with the real DexYCB layout
+(dex_ycb.py:94-290: color jpg / 16-bit depth png / labels npz / calibration
+yml / meta.yml), with a procedurally-placed square "hand" whose 3D joints
+project consistently through the synthetic intrinsics. Lets the whole data
+path + eval harness run end-to-end in tests without the 100GB dataset
+(SURVEY §4 item 3: synthetic end-to-end test).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def _write_yaml(path: str, obj) -> None:
+    import yaml
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(obj, f)
+
+
+def make_synthetic_dexycb(root: str, n_sequences: int = 2,
+                          n_frames: int = 3, seed: int = 0,
+                          h: int = 480, w: int = 640) -> Dict:
+    """Create a 1-subject, 1-camera synthetic tree under ``root``.
+
+    Returns dict with ground-truth bookkeeping per (seq, frame):
+    hand box, joints_3d (m), paras.
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    subject = "20200709-subject-01"
+    serial = "836212060125"
+    fx, fy, cx, cy = 600.0, 600.0, w / 2.0, h / 2.0
+    _write_yaml(os.path.join(root, "calibration", "intrinsics",
+                             f"{serial}_{w}x{h}.yml"),
+                {"color": {"fx": fx, "fy": fy, "ppx": cx, "ppy": cy}})
+    _write_yaml(os.path.join(root, "calibration", "mano_calib0", "mano.yml"),
+                {"betas": [0.0] * 10})
+
+    info: Dict[Tuple[int, int], Dict] = {}
+    for s in range(n_sequences):
+        seq = f"2020000{s:02d}_000000"
+        seq_dir = os.path.join(root, subject, seq)
+        cam_dir = os.path.join(seq_dir, serial)
+        os.makedirs(cam_dir, exist_ok=True)
+        _write_yaml(os.path.join(seq_dir, "meta.yml"), {
+            "num_frames": n_frames,
+            "ycb_ids": [1, 5],
+            "ycb_grasp_ind": 0,
+            "mano_sides": ["right"],
+            "mano_calib": ["calib0"],
+        })
+        for fidx in range(n_frames):
+            # place a square "hand" at depth z
+            z = float(rng.uniform(0.4, 0.8))
+            hw = int(rng.integers(50, 90))
+            u0 = int(rng.integers(120, w - 240))
+            v0 = int(rng.integers(100, h - 200))
+
+            seg = np.zeros((h, w), np.uint8)
+            seg[v0:v0 + hw, u0:u0 + hw] = 255
+            # a YCB object elsewhere
+            seg[20:60, 20:80] = 1
+
+            depth_mm = np.full((h, w), 2000, np.uint16)
+            depth_mm[seg == 255] = int(z * 1000)
+            depth_mm[seg == 1] = 1500
+
+            color = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+            color[seg == 255] = (200, 170, 150)
+
+            # 21 joints uniformly inside the hand square, consistent 3D
+            ju = rng.uniform(u0 + 5, u0 + hw - 5, size=21)
+            jv = rng.uniform(v0 + 5, v0 + hw - 5, size=21)
+            joint_3d = np.stack([(ju - cx) * z / fx, (jv - cy) * z / fy,
+                                 np.full(21, z)], axis=1)
+            joint_2d = np.stack([ju, jv], axis=1)
+
+            cv2.imwrite(os.path.join(cam_dir, f"color_{fidx:06d}.jpg"), color)
+            cv2.imwrite(os.path.join(
+                cam_dir, f"aligned_depth_to_color_{fidx:06d}.png"), depth_mm)
+            pose_m = np.zeros((1, 51), np.float32)
+            pose_m[0, 0] = 0.1  # non-zero => "has pose"
+            np.savez(os.path.join(cam_dir, f"labels_{fidx:06d}.npz"),
+                     seg=seg,
+                     joint_3d=joint_3d[None].astype(np.float32),
+                     joint_2d=joint_2d[None].astype(np.float32),
+                     pose_m=pose_m)
+            info[(s, fidx)] = {
+                "hand_box": np.array([u0, v0, u0 + hw - 1, v0 + hw - 1],
+                                     np.float32),
+                "joints_3d": joint_3d.astype(np.float32),
+                "paras": np.array([fx, fy, cx, cy], np.float32),
+                "depth_z": z,
+            }
+    return info
