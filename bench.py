@@ -11,6 +11,9 @@ import json
 import time
 
 import jax
+
+from handnet_tpu import runtime as _runtime
+_runtime.setup()
 import jax.numpy as jnp
 import numpy as np
 

@@ -1,0 +1,185 @@
+"""Streaming hand-perception demo: camera-rate frames -> joints (+mesh).
+
+Reference: ros_demo.py:170-398 — a ROS node wiring RGB+depth subscribers to
+HandNet with pyrender mesh output. The ROS transport is environment-specific,
+so this rebuild provides a generic ``FrameSource`` interface (folder / video /
+synthetic) feeding the SAME fused pipeline, with double-buffered host->device
+transfer: while the TPU chews frame N, frame N+1 is being decoded and
+transferred (jax's async dispatch gives this for free).
+
+Usage:
+  python -m handnet_tpu.apps.demo --source synthetic --frames 32
+  python -m handnet_tpu.apps.demo --source folder --input DIR  # color_*.jpg + depth_*.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Iterator, Optional, Tuple
+
+import jax
+
+from handnet_tpu import runtime as _runtime
+_runtime.setup()
+import jax.numpy as jnp
+import numpy as np
+
+from handnet_tpu.config import (A2JConfig, FCOSConfig, HandNetConfig,
+                                PipelineConfig)
+from handnet_tpu.models.pipeline import HandNetPipeline
+
+
+class FrameSource:
+    """Yields (rgb [H,W,3] 0-1 float32, depth [H,W] meters)."""
+
+    def frames(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        raise NotImplementedError
+
+
+class SyntheticSource(FrameSource):
+    def __init__(self, n: int, h: int = 480, w: int = 640, seed: int = 0):
+        self.n, self.h, self.w = n, h, w
+        self.rng = np.random.default_rng(seed)
+
+    def frames(self):
+        for _ in range(self.n):
+            yield (self.rng.uniform(size=(self.h, self.w, 3)).astype(np.float32),
+                   self.rng.uniform(0.3, 1.2, size=(self.h, self.w))
+                   .astype(np.float32))
+
+
+class FolderSource(FrameSource):
+    """Paired color_*.jpg / depth_*.png (mm) files, sorted."""
+
+    def __init__(self, directory: str):
+        import glob
+
+        self.colors = sorted(glob.glob(os.path.join(directory, "color_*.jpg")))
+        self.depths = sorted(glob.glob(os.path.join(directory, "depth_*.png")))
+        if len(self.colors) != len(self.depths):
+            raise SystemExit("mismatched color/depth file counts")
+
+    def frames(self):
+        import cv2
+
+        for c, d in zip(self.colors, self.depths):
+            rgb = cv2.imread(c)[:, :, ::-1].astype(np.float32) / 255.0
+            depth = cv2.imread(d, cv2.IMREAD_ANYDEPTH).astype(np.float32) / 1000.0
+            yield rgb, depth
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--source", choices=["synthetic", "folder"],
+                        default="synthetic")
+    parser.add_argument("--input", default=None)
+    parser.add_argument("--frames", type=int, default=32)
+    parser.add_argument("--fcos-checkpoint", default=None)
+    parser.add_argument("--a2j-checkpoint", default=None)
+    parser.add_argument("--mesh", action="store_true",
+                        help="lift joints to a MANO mesh (needs pose2mesh "
+                             "weights; runs with random weights otherwise)")
+    parser.add_argument("--paras", type=float, nargs=4,
+                        default=[600.0, 600.0, 320.0, 240.0],
+                        help="fx fy cx cy")
+    parser.add_argument("--out", default=None, help="npz of per-frame results")
+    args = parser.parse_args(argv)
+
+    source = (SyntheticSource(args.frames) if args.source == "synthetic"
+              else FolderSource(args.input))
+
+    cfg = HandNetConfig(fcos=FCOSConfig(num_classes=2, ext=False),
+                        a2j=A2JConfig(), pipeline=PipelineConfig())
+    pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
+    variables = pipe.init(jax.random.PRNGKey(0))
+    if args.fcos_checkpoint:
+        from handnet_tpu.convert.torch_weights import (convert_fcos,
+                                                       load_torch_checkpoint)
+
+        variables["detector"] = jax.tree_util.tree_map(
+            jnp.asarray, convert_fcos(load_torch_checkpoint(
+                args.fcos_checkpoint)))
+    if args.a2j_checkpoint:
+        from handnet_tpu.convert.torch_weights import (convert_a2j,
+                                                       load_torch_checkpoint)
+
+        variables["a2j"] = jax.tree_util.tree_map(
+            jnp.asarray, convert_a2j(load_torch_checkpoint(
+                args.a2j_checkpoint)))
+
+    paras = jnp.asarray(np.asarray(args.paras, np.float32)[None])
+    fwd = jax.jit(lambda v, im, d: pipe(v, im, d, paras))
+
+    mesh_fn = None
+    if args.mesh:
+        mesh_fn = build_mesh_head()
+
+    results = []
+    times = []
+    pending = None  # double buffer: overlap host decode with device compute
+    for rgb, depth in source.frames():
+        im = jnp.asarray(rgb[None])
+        d = jnp.asarray(depth[None])
+        t0 = time.perf_counter()
+        out = fwd(variables, im, d)
+        if pending is not None:
+            jax.block_until_ready(pending["joints_uvd"])
+            times.append(time.perf_counter() - t0)
+        frame_result = {
+            "joints_uvd": np.asarray(out["joints_uvd"][0]),
+            "joints_xyz": np.asarray(out["joints_xyz"][0]),
+            "box": np.asarray(out["boxes"][0]),
+            "found": bool(np.asarray(out["found"][0])),
+            "side": int(np.asarray(out["sides"][0])),
+        }
+        if mesh_fn is not None and frame_result["found"]:
+            uv = frame_result["joints_uvd"][:, :2]
+            frame_result["mesh"] = mesh_fn(uv)
+        results.append(frame_result)
+        pending = out
+    if pending is not None:
+        jax.block_until_ready(pending["joints_uvd"])
+
+    found = sum(r["found"] for r in results)
+    fps = 1.0 / np.mean(times) if times else 0.0
+    print(f"processed {len(results)} frames, hand found in {found}, "
+          f"~{fps:.1f} fps steady-state")
+    if args.out:
+        np.savez(args.out, **{
+            f"frame{i:04d}_{k}": v for i, r in enumerate(results)
+            for k, v in r.items()})
+        print(f"wrote {args.out}")
+
+
+def build_mesh_head():
+    """Pose2Mesh lifting head over the detected 2D joints
+    (ros_demo.py:131-168 equivalent; random weights unless trained)."""
+    from handnet_tpu.models.pose2mesh import (Pose2Mesh,
+                                              normalize_joints_for_pose2mesh)
+    from handnet_tpu.ops.graph import build_graph_pyramid
+
+    # MANO-topology stand-in mesh: without the licensed MANO assets we build
+    # the pyramid from a synthetic 778-vert trianglulation (same sizes)
+    rng = np.random.default_rng(0)
+    faces = np.stack([np.arange(776), np.arange(1, 777), np.arange(2, 778)],
+                     axis=1)
+    skeleton = tuple((0, i) for i in (1, 5, 9, 13, 17)) + tuple(
+        (i, i + 1) for i in range(1, 20) if i % 4 != 0)
+    pyramid = build_graph_pyramid(faces, 21, skeleton, levels=6)
+    model = Pose2Mesh(pyramid=pyramid)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 21, 2)))
+    fwd = jax.jit(lambda v, j: model.apply(v, j))
+
+    def run(joints2d: np.ndarray) -> np.ndarray:
+        norm = normalize_joints_for_pose2mesh(joints2d)
+        mesh, _ = fwd(variables, jnp.asarray(norm[None]))
+        verts = np.asarray(mesh[0])[pyramid.perm_reverse[:778]]
+        return verts
+
+    return run
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""COCO-style detection evaluation (AP@[.5:.95], AP50/75, area ranges).
+
+Reference: dex-ycb-toolkit/dex_ycb_toolkit/coco_eval.py:26-262 builds COCO
+annotations on the fly and calls pycocotools' COCOeval. Here the matcher +
+PR accumulation are implemented directly (same published COCO protocol:
+greedy per-IoU-threshold matching in descending score order, crowd-free,
+101-point interpolated AP), over in-memory records — no JSON round trip.
+
+API: ``CocoDetEvaluator(gt).evaluate(detections)`` -> metric dict.
+GT/detections reuse eval.voc record types (GTObject label = category name or
+id via ``name``).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from handnet_tpu.eval.voc import Detection, GTObject
+
+IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
+RECALL_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+
+
+def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+class CocoDetEvaluator:
+    def __init__(self, annotations: Dict[str, List[GTObject]],
+                 max_dets: int = 100):
+        self.annotations = annotations
+        self.max_dets = max_dets
+        self.categories = sorted({o.name for objs in annotations.values()
+                                  for o in objs})
+
+    def evaluate(self, detections: Sequence[Detection],
+                 labels: Sequence[str] | None = None) -> Dict[str, float]:
+        """detections carry category via ``Detection.handstate``? No —
+        category comes via the parallel ``labels`` list (or all one class)."""
+        if labels is None:
+            labels = [self.categories[0]] * len(detections)
+
+        # per (category, image) buckets
+        det_by = defaultdict(list)
+        for d, c in zip(detections, labels):
+            det_by[(c, d.image_id)].append(d)
+
+        # tp flag matrix per category: [T, D] over all images
+        ap_per_cat = {}
+        ap50_per_cat = {}
+        ap75_per_cat = {}
+        ar_per_cat = {}
+        for cat in self.categories:
+            scores_all = []
+            matches_all = []  # [T] bools per det
+            n_gt = 0
+            for image_id, objs in self.annotations.items():
+                gt = [o for o in objs if o.name == cat]
+                n_gt += len(gt)
+                dets = sorted(det_by.get((cat, image_id), []),
+                              key=lambda d: -d.score)[:self.max_dets]
+                if not dets:
+                    continue
+                gt_boxes = (np.stack([o.bbox for o in gt])
+                            if gt else np.zeros((0, 4)))
+                dt_boxes = np.stack([d.bbox for d in dets])
+                iou = (_iou_xyxy(dt_boxes, gt_boxes) if len(gt)
+                       else np.zeros((len(dets), 0)))
+                for d_idx, det in enumerate(dets):
+                    scores_all.append(det.score)
+                    row = []
+                    for t in IOU_THRS:
+                        row.append(-1)  # placeholder, filled below
+                    matches_all.append(row)
+                # greedy matching per threshold
+                base = len(matches_all) - len(dets)
+                for t_idx, t in enumerate(IOU_THRS):
+                    taken = np.zeros(len(gt), bool)
+                    for d_idx in range(len(dets)):
+                        best, best_iou = -1, t
+                        for g_idx in range(len(gt)):
+                            if taken[g_idx]:
+                                continue
+                            if iou[d_idx, g_idx] >= best_iou:
+                                best, best_iou = g_idx, iou[d_idx, g_idx]
+                        if best >= 0:
+                            taken[best] = True
+                            matches_all[base + d_idx][t_idx] = 1
+                        else:
+                            matches_all[base + d_idx][t_idx] = 0
+
+            if n_gt == 0:
+                continue
+            if not scores_all:
+                ap_per_cat[cat] = 0.0
+                ap50_per_cat[cat] = 0.0
+                ap75_per_cat[cat] = 0.0
+                ar_per_cat[cat] = 0.0
+                continue
+            order = np.argsort(-np.asarray(scores_all))
+            m = np.asarray(matches_all)[order]          # [D, T]
+            aps = []
+            recalls = []
+            for t_idx in range(len(IOU_THRS)):
+                tp = np.cumsum(m[:, t_idx] == 1)
+                fp = np.cumsum(m[:, t_idx] == 0)
+                rec = tp / n_gt
+                prec = tp / np.maximum(tp + fp, 1e-9)
+                # 101-point interpolation (COCO protocol)
+                prec_envelope = np.maximum.accumulate(prec[::-1])[::-1]
+                interp = np.zeros_like(RECALL_THRS)
+                idx = np.searchsorted(rec, RECALL_THRS, side="left")
+                valid = idx < len(prec_envelope)
+                interp[valid] = prec_envelope[idx[valid]]
+                aps.append(interp.mean())
+                recalls.append(rec[-1] if len(rec) else 0.0)
+            ap_per_cat[cat] = float(np.mean(aps))
+            ap50_per_cat[cat] = float(aps[0])
+            ap75_per_cat[cat] = float(aps[5])
+            ar_per_cat[cat] = float(np.mean(recalls))
+
+        def mean(d):
+            return float(np.mean(list(d.values()))) if d else 0.0
+
+        return {
+            "AP": mean(ap_per_cat),
+            "AP50": mean(ap50_per_cat),
+            "AP75": mean(ap75_per_cat),
+            "AR": mean(ar_per_cat),
+            "per_category": ap_per_cat,
+        }

@@ -82,7 +82,8 @@ class A2J(nn.Module):
             # depth replicated to 3 channels to reuse RGB-pretrained stem
             # (reference a2j/a2j.py:197-199)
             x = jnp.repeat(x, 3, axis=-1)
-        backbone = resnet50_dilated(norm=self.norm, dtype=self.dtype)
+        backbone = resnet50_dilated(norm=self.norm, dtype=self.dtype,
+                                    name="backbone")
         feats = backbone(x, train=train)
         x3, x4 = feats["c4"], feats["c5"]  # both stride 16 (dilated layer4)
 

@@ -98,8 +98,11 @@ class FCOSHead(nn.Module):
                 dxdy = nn.relu(self.hand_dxdy(cls_t))
                 mag = dxdy[..., :1]
                 vec = dxdy[..., 1:]
-                norm = jnp.sqrt(jnp.sum(vec * vec, axis=-1, keepdims=True))
-                vec = 0.1 * vec / jnp.maximum(norm, 1e-12)
+                # eps inside the sqrt: grad at an exactly-zero vector (common
+                # after relu) would otherwise be NaN
+                norm = jnp.sqrt(jnp.sum(vec * vec, axis=-1, keepdims=True)
+                                + 1e-12)
+                vec = 0.1 * vec / norm
                 outs["hand_dxdy"].append(
                     jnp.concatenate([mag, vec], axis=-1).reshape(b, -1, 3))
             # relu on box regression (fcos.py:379)

@@ -187,7 +187,9 @@ def resnet50(norm: str = "batch", dtype: Any = jnp.float32, **kw) -> ResNet:
                   dtype=dtype, **kw)
 
 
-def resnet50_dilated(norm: str = "batch", dtype: Any = jnp.float32) -> ResNet:
+def resnet50_dilated(norm: str = "batch", dtype: Any = jnp.float32,
+                     **kw) -> ResNet:
     """A2J's backbone: layer4 stride 1, dilation 2 (a2j/resnet.py:112)."""
     return resnet50(norm=norm, dtype=dtype,
-                    stage_strides=(1, 2, 2, 1), stage_dilations=(1, 1, 1, 2))
+                    stage_strides=(1, 2, 2, 1), stage_dilations=(1, 1, 1, 2),
+                    **kw)

@@ -1,0 +1,133 @@
+"""COCO detection AP, BOP pose errors, sequence deprojection tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from handnet_tpu.data.sequence import deproject_depth
+from handnet_tpu.eval.bop_pose import (add_error, adi_error, auc_add,
+                                       BOPEvaluator, projection_error,
+                                       rotation_error, translation_error)
+from handnet_tpu.eval.coco_det import CocoDetEvaluator
+from handnet_tpu.eval.voc import Detection, GTObject
+
+
+def box(x1, y1, x2, y2):
+    return np.array([x1, y1, x2, y2], float)
+
+
+def test_coco_perfect_detection():
+    annos = {"im0": [GTObject("cup", box(10, 10, 50, 50))],
+             "im1": [GTObject("cup", box(20, 20, 70, 80))]}
+    dets = [Detection("im0", 0.9, box(10, 10, 50, 50)),
+            Detection("im1", 0.8, box(20, 20, 70, 80))]
+    out = CocoDetEvaluator(annos).evaluate(dets, ["cup", "cup"])
+    assert out["AP"] > 0.99
+    assert out["AP50"] == 1.0 and out["AP75"] == 1.0
+
+
+def test_coco_loose_box_fails_high_iou():
+    annos = {"im0": [GTObject("cup", box(10, 10, 50, 50))]}
+    # IoU ~0.56 box: passes AP50, fails AP75
+    dets = [Detection("im0", 0.9, box(10, 10, 44, 44))]
+    out = CocoDetEvaluator(annos).evaluate(dets, ["cup"])
+    assert out["AP50"] == 1.0
+    assert out["AP75"] == 0.0
+    assert 0 < out["AP"] < 1
+
+
+def test_coco_false_positive_penalized():
+    annos = {"im0": [GTObject("cup", box(10, 10, 50, 50))]}
+    dets = [Detection("im0", 0.95, box(200, 200, 240, 240)),
+            Detection("im0", 0.9, box(10, 10, 50, 50))]
+    out = CocoDetEvaluator(annos).evaluate(dets, ["cup", "cup"])
+    assert out["AP50"] < 1.0
+
+
+def random_rotation(rng):
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    return q
+
+
+def test_pose_errors_identity(rng):
+    pts = rng.normal(size=(200, 3)) * 50
+    R = random_rotation(rng)
+    t = rng.normal(size=3) * 10
+    assert add_error(R, t, R, t, pts) < 1e-9
+    assert adi_error(R, t, R, t, pts) < 1e-9
+    assert rotation_error(R, R) < 1e-4
+    assert translation_error(t, t) == 0.0
+
+
+def test_pose_errors_known_offsets(rng):
+    pts = rng.normal(size=(100, 3)) * 50
+    R = np.eye(3)
+    t = np.zeros(3)
+    t2 = np.array([3.0, 4.0, 0.0])
+    np.testing.assert_allclose(add_error(R, t2, R, t, pts), 5.0, rtol=1e-6)
+    # 90-degree rotation about z
+    Rz = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+    np.testing.assert_allclose(rotation_error(Rz, np.eye(3)), 90.0, atol=1e-4)
+
+
+def test_adi_leq_add(rng):
+    pts = rng.normal(size=(150, 3)) * 30
+    R1, R2 = random_rotation(rng), random_rotation(rng)
+    t1, t2 = rng.normal(size=3) * 5, rng.normal(size=3) * 5
+    assert adi_error(R1, t1, R2, t2, pts) <= add_error(R1, t1, R2, t2, pts) + 1e-9
+
+
+def test_projection_error_zero_for_same_pose(rng):
+    pts = rng.normal(size=(50, 3)) * 20 + np.array([0, 0, 500.0])
+    K = np.array([[600, 0, 320], [0, 600, 240], [0, 0, 1.0]])
+    R = np.eye(3)
+    t = np.array([0, 0, 100.0])
+    assert projection_error(R, t, R, t, K, pts) < 1e-9
+
+
+def test_auc_add_extremes():
+    assert auc_add([0.0] * 10, max_threshold=100) > 0.99
+    assert auc_add([1000.0] * 10, max_threshold=100) == 0.0
+
+
+def test_bop_evaluator(rng):
+    pts = rng.normal(size=(300, 3)) * 40
+    diam = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+    models = {1: pts}
+    diameters = {1: diam}
+    R = random_rotation(rng)
+    t = rng.normal(size=3) * 20
+    gt = [{"image_id": 0, "obj_id": 1, "R": R, "t": t}]
+    est_good = [{"image_id": 0, "obj_id": 1, "R": R,
+                 "t": t + 0.01 * diam / np.sqrt(3)}]
+    out = BOPEvaluator(models, diameters).evaluate(est_good, gt)
+    assert out["add_s_recall_0.1d"] == 1.0
+    assert out["ar_mssd"] > 0.5
+
+    est_bad = [{"image_id": 0, "obj_id": 1, "R": random_rotation(rng),
+                "t": t + diam}]
+    out_bad = BOPEvaluator(models, diameters).evaluate(est_bad, gt)
+    assert out_bad["add_s_recall_0.1d"] == 0.0
+
+
+def test_deproject_depth_roundtrip(rng):
+    """Points deprojected at depth z must reproject to their pixel."""
+    h, w = 24, 32
+    fx, fy, cx, cy = 100.0, 100.0, 16.0, 12.0
+    k = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+    depth = rng.uniform(0.5, 1.5, size=(2, h, w)).astype(np.float32)
+    depth[0, 0, 0] = 0.0  # filtered
+    inv_k = jnp.asarray(np.stack([np.linalg.inv(k)] * 2))
+    eye = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * 2))
+    pts, mask = deproject_depth(jnp.asarray(depth), inv_k, eye)
+    pts = np.asarray(pts).reshape(2, h, w, 3)
+    mask = np.asarray(mask).reshape(2, h, w)
+    assert not mask[0, 0, 0] and mask[1, 5, 5]
+    # reprojection check at a few pixels
+    for (c, y, x) in ((0, 3, 7), (1, 20, 30)):
+        p = pts[c, y, x]
+        u = p[0] * fx / p[2] + cx
+        v = p[1] * fy / p[2] + cy
+        np.testing.assert_allclose([u, v], [x, y], atol=1e-3)
+        np.testing.assert_allclose(p[2], depth[c, y, x], atol=1e-6)
