@@ -1,0 +1,94 @@
+"""Tests: pose2mesh losses, color jitter, offset field round-trip,
+rotation ops."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from handnet_tpu.data.imgtrans import (adjust_brightness, adjust_contrast,
+                                       adjust_hue, adjust_saturation,
+                                       color_jitter)
+from handnet_tpu.ops.offset_field import joint2offset, offset2joint_softmax
+from handnet_tpu.ops.rotation import (batch_rodrigues, rot6d_to_rotmat)
+from handnet_tpu.train.pose2mesh_loss import (coord_l1, edge_length_loss,
+                                              laplacian_loss,
+                                              normal_vector_loss,
+                                              pose2mesh_losses,
+                                              uniform_laplacian)
+
+
+def test_rodrigues_known_rotation():
+    # pi/2 about z
+    aa = jnp.asarray([[0.0, 0.0, np.pi / 2]])
+    r = np.asarray(batch_rodrigues(aa))[0]
+    expect = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+    np.testing.assert_allclose(r, expect, atol=1e-5)
+
+
+def test_rodrigues_orthonormal(rng):
+    aa = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    r = np.asarray(batch_rodrigues(aa))
+    eye = np.einsum("bij,bkj->bik", r, r)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (16, 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-5)
+
+
+def test_rot6d_orthonormal(rng):
+    x = jnp.asarray(rng.normal(size=(8, 6)).astype(np.float32))
+    r = np.asarray(rot6d_to_rotmat(x))
+    eye = np.einsum("bij,bkj->bik", r, r)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (8, 1, 1)), atol=1e-5)
+
+
+def test_pose2mesh_losses_zero_when_equal(rng):
+    faces = np.stack([np.arange(10), np.arange(1, 11), np.arange(2, 12)], 1)
+    mesh = jnp.asarray(rng.normal(size=(2, 12, 3)).astype(np.float32))
+    pose = jnp.asarray(rng.normal(size=(2, 21, 3)).astype(np.float32))
+    losses = pose2mesh_losses(mesh, mesh, pose, pose, faces=faces)
+    assert float(losses["mesh_coord"]) == 0.0
+    assert float(losses["pose_coord"]) == 0.0
+    assert float(losses["edge"]) == 0.0
+    # normal loss is |cos(edge, gt_normal)| = 0 for identical meshes
+    assert float(losses["normal"]) < 1e-5
+
+
+def test_edge_and_coord_losses_positive(rng):
+    faces = np.stack([np.arange(10), np.arange(1, 11), np.arange(2, 12)], 1)
+    a = jnp.asarray(rng.normal(size=(1, 12, 3)).astype(np.float32))
+    b = a * 1.5
+    assert float(edge_length_loss(a, b, faces)) > 0
+    assert float(coord_l1(a, b)) > 0
+    assert float(normal_vector_loss(a, b, faces)) >= 0
+
+
+def test_laplacian_loss_flat_for_linear(rng):
+    # a straight line strip has zero uniform-Laplacian residual inside
+    faces = np.stack([np.arange(8), np.arange(1, 9), np.arange(2, 10)], 1)
+    lap = uniform_laplacian(faces, 10)
+    # linear coordinates: interior rows average to the point itself
+    pts = jnp.asarray(np.linspace(0, 1, 10)[None, :, None]
+                      * np.ones((1, 10, 3), np.float32))
+    val = float(laplacian_loss(pts, jnp.asarray(lap)))
+    assert val < 0.2  # boundary rows contribute a little
+
+
+def test_color_jitter_ops(rng):
+    img = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    assert adjust_brightness(img, 1.0).max() <= 1.0
+    np.testing.assert_allclose(adjust_brightness(img, 1.0), img)
+    np.testing.assert_allclose(adjust_contrast(img, 1.0), img, atol=1e-6)
+    np.testing.assert_allclose(adjust_saturation(img, 1.0), img, atol=1e-6)
+    np.testing.assert_allclose(adjust_hue(img, 0.0), img, atol=1e-4)
+    out = color_jitter(img, 0.4, 0.4, 0.4, 0.1,
+                       rng=np.random.default_rng(0))
+    assert out.shape == img.shape
+    assert out.min() >= 0 and out.max() <= 1
+
+
+def test_offset_field_roundtrip(rng):
+    """encode -> decode recovers the joints (within field resolution)."""
+    jt = rng.uniform(-0.5, 0.5, size=(2, 4, 3)).astype(np.float32)
+    img = np.full((2, 1, 32, 32), 0.0, np.float32)  # all pixels valid
+    field = joint2offset(jnp.asarray(jt), jnp.asarray(img), 0.8, 32)
+    assert field.shape == (2, 16, 32, 32)
+    back = np.asarray(offset2joint_softmax(field, jnp.asarray(img), 0.8))
+    np.testing.assert_allclose(back, jt, atol=0.1)
