@@ -36,7 +36,7 @@ def main():
     if profile == "parity":
         image_h, image_w, batch = 800, 1088, 16
     else:
-        image_h, image_w, batch = 512, 640, 64
+        image_h, image_w, batch = 512, 640, 128
 
     cfg = HandNetConfig(
         a2j=A2JConfig(),

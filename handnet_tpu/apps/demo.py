@@ -118,14 +118,13 @@ def main(argv=None):
 
     results = []
     times = []
-    pending = None  # double buffer: overlap host decode with device compute
-    for rgb, depth in source.frames():
+    for i, (rgb, depth) in enumerate(source.frames()):
         im = jnp.asarray(rgb[None])
         d = jnp.asarray(depth[None])
         t0 = time.perf_counter()
         out = fwd(variables, im, d)
-        if pending is not None:
-            jax.block_until_ready(pending["joints_uvd"])
+        jax.block_until_ready(out["joints_uvd"])
+        if i > 0:  # skip the compile frame
             times.append(time.perf_counter() - t0)
         frame_result = {
             "joints_uvd": np.asarray(out["joints_uvd"][0]),
@@ -138,9 +137,6 @@ def main(argv=None):
             uv = frame_result["joints_uvd"][:, :2]
             frame_result["mesh"] = mesh_fn(uv)
         results.append(frame_result)
-        pending = out
-    if pending is not None:
-        jax.block_until_ready(pending["joints_uvd"])
 
     found = sum(r["found"] for r in results)
     fps = 1.0 / np.mean(times) if times else 0.0

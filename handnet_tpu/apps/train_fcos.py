@@ -51,25 +51,36 @@ def main(argv=None):
     parser.add_argument("--workers", type=int, default=8)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--voc-root", default=None,
+                        help="train on 100DOH VOC (sets num_classes=3)")
+    parser.add_argument("--voc-image-set", default="trainval")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
     args = parser.parse_args(argv)
 
     os.makedirs(args.output, exist_ok=True)
-    if args.synthetic:
-        import tempfile
+    if args.voc_root:
+        from handnet_tpu.data.voc100doh import VOC100DOH, VOCDetectSource
 
-        from handnet_tpu.data.synthetic import make_synthetic_dexycb
-
-        root = args.data_dir or tempfile.mkdtemp(prefix="synth_dexycb_")
-        if not os.path.exists(os.path.join(root, "calibration")):
-            make_synthetic_dexycb(root, n_sequences=args.synthetic, n_frames=4)
-        ds = DexYCBDataset("s0", "train", data_dir=root)
+        args.num_classes = 3  # background / targetobject / hand
+        src = VOCDetectSource(VOC100DOH(args.voc_root, args.voc_image_set),
+                              target_size=(args.image_h, args.image_w))
     else:
-        ds = DexYCBDataset("s0", "train", data_dir=args.data_dir)
-    idx = refine_indices(ds, cache_path=os.path.join(
-        args.output, "cache", "refined_train_idx.pkl"))
-    src = DetectDataSource(ds, idx, e2e=True)
+        if args.synthetic:
+            import tempfile
+
+            from handnet_tpu.data.synthetic import make_synthetic_dexycb
+
+            root = args.data_dir or tempfile.mkdtemp(prefix="synth_dexycb_")
+            if not os.path.exists(os.path.join(root, "calibration")):
+                make_synthetic_dexycb(root, n_sequences=args.synthetic,
+                                      n_frames=4)
+            ds = DexYCBDataset("s0", "train", data_dir=root)
+        else:
+            ds = DexYCBDataset("s0", "train", data_dir=args.data_dir)
+        idx = refine_indices(ds, cache_path=os.path.join(
+            args.output, "cache", "refined_train_idx.pkl"))
+        src = DetectDataSource(ds, idx, e2e=True)
     print(f"train samples: {len(src)}")
 
     mesh = create_mesh()

@@ -136,10 +136,17 @@ class VOC100DOH:
 
 
 class VOCDetectSource:
-    """Indexable image+target source over the roidb for the prefetch loader."""
+    """Indexable image+target source over the roidb for the prefetch loader.
 
-    def __init__(self, dataset: VOC100DOH, max_boxes: int = 16):
+    ``target_size=(h, w)``: aspect-preserving resize + bottom/right pad to a
+    static shape (boxes scaled accordingly). VOC images vary in size and the
+    TPU path needs fixed shapes — this replaces the reference's aspect-ratio
+    grouped batching (fpn_utils/group_by_aspect_ratio.py)."""
+
+    def __init__(self, dataset: VOC100DOH, max_boxes: int = 16,
+                 target_size=None):
         self.records = dataset.roidb(max_boxes)
+        self.target_size = target_size
 
     def __len__(self):
         return len(self.records)
@@ -149,9 +156,20 @@ class VOCDetectSource:
 
         rec = self.records[idx]
         img = cv2.imread(rec["image"])[:, :, ::-1]
+        boxes = rec["boxes"]
+        if self.target_size is not None:
+            th, tw = self.target_size
+            h, w = img.shape[:2]
+            scale = min(th / h, tw / w)
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+            resized = cv2.resize(img, (nw, nh))
+            padded = np.zeros((th, tw, 3), img.dtype)
+            padded[:nh, :nw] = resized
+            img = padded
+            boxes = (boxes * scale).astype(np.float32)
         return {
             "image": img.astype(np.float32) / 255.0,
-            "target_boxes": rec["boxes"],
+            "target_boxes": boxes,
             "target_labels": rec["labels"],
             "target_valid": rec["valid"],
             "target_box_info": rec["box_info"],

@@ -108,6 +108,18 @@ class Metrics:
         return path
 
 
+def save_args(args, directory: str, name: str = "opt"):
+    """Persist run arguments as txt + json (utils/exputils/argutils.py:16
+    save_args equivalent — json instead of pickle)."""
+    os.makedirs(directory, exist_ok=True)
+    d = vars(args) if hasattr(args, "__dict__") else dict(args)
+    with open(os.path.join(directory, f"{name}.txt"), "w") as f:
+        for k in sorted(d):
+            f.write(f"{k}: {d[k]}\n")
+    with open(os.path.join(directory, f"{name}.json"), "w") as f:
+        json.dump({k: repr(v) for k, v in d.items()}, f, indent=1)
+
+
 class Monitor:
     """Train/val log files + Metrics (monitoring.py:10-29)."""
 
