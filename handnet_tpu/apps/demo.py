@@ -84,6 +84,9 @@ def main(argv=None):
     parser.add_argument("--paras", type=float, nargs=4,
                         default=[600.0, 600.0, 320.0, 240.0],
                         help="fx fy cx cy")
+    parser.add_argument("--flip-left", action="store_true",
+                        help="mirror frames for left-hand tracking (A2J is "
+                             "right-hand trained; ros_demo.py:260-262)")
     parser.add_argument("--out", default=None, help="npz of per-frame results")
     args = parser.parse_args(argv)
 
@@ -119,6 +122,9 @@ def main(argv=None):
     results = []
     times = []
     for i, (rgb, depth) in enumerate(source.frames()):
+        if args.flip_left:
+            rgb = rgb[:, ::-1].copy()
+            depth = depth[:, ::-1].copy()
         im = jnp.asarray(rgb[None])
         d = jnp.asarray(depth[None])
         t0 = time.perf_counter()
@@ -133,6 +139,12 @@ def main(argv=None):
             "found": bool(np.asarray(out["found"][0])),
             "side": int(np.asarray(out["sides"][0])),
         }
+        if args.flip_left and frame_result["found"]:
+            # mirror crop box + u coordinates back to the original frame
+            w = rgb.shape[1]
+            x1, y1, x2, y2 = frame_result["box"]
+            frame_result["box"] = np.array([w - 1 - x2, y1, w - 1 - x1, y2],
+                                           np.float32)
         if mesh_fn is not None and frame_result["found"]:
             uv = frame_result["joints_uvd"][:, :2]
             frame_result["mesh"] = mesh_fn(uv)

@@ -75,6 +75,10 @@ class HandNetPipeline:
         b, img_h, img_w = images.shape[0], images.shape[1], images.shape[2]
         if depth_images.ndim == 3:
             depth_images = depth_images[..., None]
+        if cfg.pipeline.rgbd and depth_images.shape[-1] == 4:
+            # reference feeds BGR+D and swaps to RGB+D after the crop
+            # (handnet_pipeline.py:102: [2,1,0,3] reorder) — same reorder here
+            depth_images = depth_images[..., jnp.asarray([2, 1, 0, 3])]
 
         det = self.detector.detect(variables["detector"], images)
 
@@ -119,6 +123,16 @@ class HandNetPipeline:
                                  cfg.pipeline.crop_size)
             out["joints_xyz"] = xyz * found[:, None, None]
         return out
+
+    def detect(self, variables, images: jnp.ndarray):
+        """Detector-only entry (the reference's ``is_detect=True`` branch,
+        handnet_pipeline.py:63-65): padded detections in original pixels."""
+        return self.detector.detect(variables["detector"], images)
+
+    def pose(self, variables, depth_crops: jnp.ndarray) -> jnp.ndarray:
+        """Pose-only entry (the ``is_3D=True`` branch): pre-cropped depth
+        ``[B, S, S, C]`` -> UVD joints."""
+        return self.a2j.predict(variables["a2j"], depth_crops)
 
     def jit(self, with_xyz: bool = False):
         """Return a jit-compiled forward with static config baked in."""
