@@ -20,14 +20,13 @@ TPU-native design decisions:
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from handnet_tpu.config import FCOSConfig
 from handnet_tpu.nn.fpn import FPN
 from handnet_tpu.nn.resnet import resnet34
 from handnet_tpu.ops import boxes as box_ops

@@ -16,14 +16,14 @@ graph is branch-free and pipelines across frames.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from handnet_tpu.config import HandNetConfig
-from handnet_tpu.models.a2j import A2JSystem, a2j_postprocess
-from handnet_tpu.models.fcos import FCOSSystem, decode_detections, preprocess
+from handnet_tpu.models.a2j import A2JSystem
+from handnet_tpu.models.fcos import FCOSSystem
 from handnet_tpu.ops.crop_resize import crop_resize_nearest, pad_box
 from handnet_tpu.ops.geometry import convert_joints
 

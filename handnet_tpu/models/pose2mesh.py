@@ -19,7 +19,7 @@ TPU-native redesign:
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,7 @@ gather/scatter by a wide margin (SURVEY §7 step 8).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import scipy.sparse as sp

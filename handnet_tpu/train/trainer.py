@@ -14,8 +14,6 @@ trainval_net_a2j.py / a2j/a2j.py:252-366 — with two small explicit trainers:
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -1,0 +1,191 @@
+"""End-to-end learning validation on synthetic data.
+
+Trains BOTH stages from scratch on the synthetic DexYCB tree, assembles the
+fused pipeline from the trained weights, and verifies on held-out frames:
+
+  1. the detector finds the planted hand (IoU vs the planted box),
+  2. the A2J stage regresses the planted joints (MPJPE in mm),
+  3. the combined pipeline's detect->crop->pose handoff preserves accuracy.
+
+This is SURVEY §4 item 3 taken to its conclusion: the whole framework —
+data pipeline, both trainers, checkpointing, the fused graph — exercised as
+one system with a known ground truth. Run on the TPU:
+
+    python tools/synthetic_e2e_validation.py --fcos-steps 300 --a2j-steps 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from handnet_tpu import runtime as _runtime
+_runtime.setup()
+import jax.numpy as jnp
+import numpy as np
+
+from handnet_tpu.config import (A2JConfig, FCOSConfig, HandNetConfig,
+                                PipelineConfig, TrainConfig)
+from handnet_tpu.data.a2j_data import A2JDataSource, A2JSampleConfig
+from handnet_tpu.data.detect_data import DetectDataSource
+from handnet_tpu.data.dexycb import DexYCBDataset
+from handnet_tpu.data.loader import PrefetchLoader
+from handnet_tpu.data.synthetic import make_synthetic_dexycb
+from handnet_tpu.models.fcos import preprocess
+from handnet_tpu.models.pipeline import HandNetPipeline
+from handnet_tpu.ops.boxes import box_iou
+from handnet_tpu.train.trainer import A2JTrainer, FCOSTrainer
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sequences", type=int, default=12)
+    parser.add_argument("--frames", type=int, default=6)
+    parser.add_argument("--fcos-steps", type=int, default=300)
+    parser.add_argument("--a2j-steps", type=int, default=300)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--image-h", type=int, default=256)
+    parser.add_argument("--image-w", type=int, default=352)
+    parser.add_argument("--crop", type=int, default=96)
+    args = parser.parse_args(argv)
+
+    root = tempfile.mkdtemp(prefix="synth_val_")
+    info = make_synthetic_dexycb(root, n_sequences=args.sequences,
+                                 n_frames=args.frames)
+    ds = DexYCBDataset("s0", "train", data_dir=root)
+    n = len(ds)
+    train_idx = [i for i in range(n) if i % 5 != 4]
+    test_idx = [i for i in range(n) if i % 5 == 4]
+    print(f"{n} synthetic frames ({len(train_idx)} train, "
+          f"{len(test_idx)} held out)")
+
+    # ----- stage 1: FCOS (hand detection, 2 classes: bg-ish + hand) --------
+    fcfg = FCOSConfig(num_classes=2, ext=False, image_h=args.image_h,
+                      image_w=args.image_w, max_detections=8)
+    ftrainer = FCOSTrainer(fcfg, TrainConfig(bf16=True, lr=5e-4,
+                                             optimizer="adamw"),
+                           steps_per_epoch=100, milestones_epochs=(100,))
+    fstate = ftrainer.init_state(jax.random.PRNGKey(0))
+    det_src = DetectDataSource(ds, train_idx, e2e=False)  # hand only, label 1
+    loader = PrefetchLoader(det_src, args.batch, shuffle=True, num_workers=4)
+    prep = jax.jit(lambda im: preprocess(im, fcfg)[0])
+    scale = min(args.image_h / 480, args.image_w / 640)
+
+    t0 = time.time()
+    step = 0
+    first_loss = last_loss = None
+    while step < args.fcos_steps:
+        loader.set_epoch(step)
+        for batch in loader:
+            net = prep(jnp.asarray(batch["image"]))
+            dev = {
+                "image": net,
+                "targets": {
+                    "boxes": jnp.asarray(batch["target_boxes"] * scale),
+                    "labels": jnp.asarray(batch["target_labels"]),
+                    "valid": jnp.asarray(batch["target_valid"]),
+                    "box_info": jnp.asarray(batch["target_box_info"]),
+                },
+            }
+            fstate, metrics = ftrainer.train_step(fstate, dev)
+            last_loss = float(metrics["total_loss"])
+            if first_loss is None:
+                first_loss = last_loss
+            step += 1
+            if step % 50 == 0:
+                print(f"fcos step {step}: loss={last_loss:.4f}")
+            if step >= args.fcos_steps:
+                break
+    print(f"fcos: {first_loss:.3f} -> {last_loss:.3f} "
+          f"({time.time() - t0:.0f}s)")
+
+    # ----- stage 2: A2J ----------------------------------------------------
+    acfg = A2JConfig(crop_h=args.crop, crop_w=args.crop)
+    atrainer = A2JTrainer(acfg, TrainConfig(bf16=True, lr=3.5e-4),
+                          steps_per_epoch=100)
+    astate = atrainer.init_state(jax.random.PRNGKey(1))
+    a_src = A2JDataSource(ds, train_idx, augment=True,
+                          cfg=A2JSampleConfig(crop_w=args.crop,
+                                              crop_h=args.crop))
+    aloader = PrefetchLoader(a_src, args.batch, shuffle=True, num_workers=4)
+    t0 = time.time()
+    step = 0
+    afirst = alast = None
+    while step < args.a2j_steps:
+        aloader.set_epoch(step)
+        for batch in aloader:
+            astate, metrics = atrainer.train_step(astate, {
+                "image": jnp.asarray(batch["depth"]),
+                "jt_uvd": jnp.asarray(batch["jt_uvd"]),
+            })
+            alast = float(metrics["total_loss"])
+            if afirst is None:
+                afirst = alast
+            step += 1
+            if step % 50 == 0:
+                print(f"a2j step {step}: loss={alast:.4f}")
+            if step >= args.a2j_steps:
+                break
+    print(f"a2j: {afirst:.3f} -> {alast:.3f} ({time.time() - t0:.0f}s)")
+
+    # ----- assemble the pipeline from trained weights ----------------------
+    cfg = HandNetConfig(a2j=acfg, fcos=fcfg,
+                        pipeline=PipelineConfig(crop_size=args.crop))
+    pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
+    variables = {
+        "detector": {"params": fstate.params,
+                     "batch_stats": fstate.batch_stats},
+        "a2j": {"params": astate.params, "batch_stats": astate.batch_stats},
+    }
+    fwd = jax.jit(lambda v, im, d, p: pipe(v, im, d, p))
+
+    import cv2
+
+    found_count = 0
+    ious = []
+    mpjpes = []
+    for i in test_idx:
+        s, c, f = ds._mapping[i]
+        gt = info[(int(s), int(f))]
+        sample = ds[i]
+        color = cv2.imread(sample["color_file"])[:, :, ::-1]
+        depth = cv2.imread(sample["depth_file"],
+                           cv2.IMREAD_ANYDEPTH).astype(np.float32) / 1000.0
+        out = fwd(variables,
+                  jnp.asarray(color[None].astype(np.float32) / 255.0),
+                  jnp.asarray(depth[None]),
+                  jnp.asarray(gt["paras"][None]))
+        if bool(np.asarray(out["found"])[0]):
+            found_count += 1
+            box = np.asarray(out["boxes"])[0]
+            # compare against the 40%-padded planted box (the pipeline pads)
+            iou = float(np.asarray(box_iou(
+                jnp.asarray(box[None]), jnp.asarray(gt["hand_box"][None])))[0, 0])
+            ious.append(iou)
+            xyz = np.asarray(out["joints_xyz"])[0]
+            mpjpe = float(np.linalg.norm(
+                xyz - gt["joints_3d"] * 1000.0, axis=1).mean())
+            mpjpes.append(mpjpe)
+
+    print(f"\nheld-out frames: {len(test_idx)}")
+    print(f"hand found: {found_count}/{len(test_idx)}")
+    if ious:
+        print(f"crop-box IoU vs planted (padded) box: "
+              f"mean {np.mean(ious):.3f}")
+        print(f"pipeline MPJPE vs planted joints: "
+              f"mean {np.mean(mpjpes):.1f} mm")
+    ok = (found_count >= 0.8 * len(test_idx)
+          and mpjpes and np.mean(mpjpes) < 100.0)
+    print("VALIDATION:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
