@@ -58,8 +58,11 @@ def build_sources(args):
     test_idx = refine_indices(
         test_ds, cache_path=os.path.join(cache, "refined_test_idx.pkl"))
     cfg = A2JSampleConfig(crop_w=args.crop, crop_h=args.crop)
-    return (A2JDataSource(train_ds, train_idx, augment=True, cfg=cfg),
-            A2JDataSource(test_ds, test_idx, augment=False, cfg=cfg),
+    rgbd = getattr(args, "rgbd", False)
+    return (A2JDataSource(train_ds, train_idx, augment=True, cfg=cfg,
+                          with_color=rgbd),
+            A2JDataSource(test_ds, test_idx, augment=False, cfg=cfg,
+                          with_color=rgbd),
             test_ds)
 
 
@@ -76,6 +79,9 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0,
                         help="use N synthetic sequences (smoke runs)")
     parser.add_argument("--eval-every", type=int, default=5)
+    parser.add_argument("--rgbd", action="store_true",
+                        help="train the 4-channel RGBD variant "
+                             "(a2j/a2j.py:216 is_RGBD)")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
     args = parser.parse_args(argv)
@@ -93,7 +99,8 @@ def main(argv=None):
                             num_shards=jax.process_count())
     steps_per_epoch = max(len(loader), 1)
 
-    model_cfg = A2JConfig(crop_h=args.crop, crop_w=args.crop)
+    model_cfg = A2JConfig(crop_h=args.crop, crop_w=args.crop,
+                          in_channels=4 if args.rgbd else 1)
     train_cfg = TrainConfig(batch_size=batch, lr=args.lr, bf16=args.bf16,
                             epochs=args.epochs)
     trainer = A2JTrainer(model_cfg, train_cfg, mesh=mesh,
@@ -113,8 +120,9 @@ def main(argv=None):
         meters = AverageMeters()
         t0 = time.time()
         for batch_np in loader:
+            image_key = "rgbd" if args.rgbd else "depth"
             dev_batch = shard_batch(mesh, {
-                "image": jnp.asarray(batch_np["depth"]),
+                "image": jnp.asarray(batch_np[image_key]),
                 "jt_uvd": jnp.asarray(batch_np["jt_uvd"]),
             })
             state, metrics = trainer.train_step(state, dev_batch)
@@ -151,10 +159,11 @@ def evaluate(trainer, state, test_src, test_ds, args, epoch, monitor):
                             drop_last=False)
     res_lines = []
     rmses = []
+    image_key = "rgbd" if getattr(args, "rgbd", False) else "depth"
     for batch_np in loader:
-        n = batch_np["depth"].shape[0]
+        n = batch_np[image_key].shape[0]
         pred, rmse = trainer.eval_step(state, {
-            "image": jnp.asarray(batch_np["depth"]),
+            "image": jnp.asarray(batch_np[image_key]),
             "jt_uvd": jnp.asarray(batch_np["jt_uvd"]),
         })
         rmses.append(float(rmse))
