@@ -50,8 +50,11 @@ class ConvTower(nn.Module):
         for i in range(self.num_convs):
             x = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
                         name=f"conv{i}")(x)
+            # use_fast_variance=False: the E[x^2]-E[x]^2 form can go negative
+            # under fp cancellation once activations grow, and rsqrt(neg)
+            # NaNs the gradient mid-training (observed at ~step 80)
             x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
-                             name=f"gn{i}")(x)
+                             use_fast_variance=False, name=f"gn{i}")(x)
             x = nn.relu(x)
         return x
 
