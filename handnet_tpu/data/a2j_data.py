@@ -129,7 +129,8 @@ def build_a2j_sample(depth_m: np.ndarray, seg: np.ndarray,
             o1 = -o1
         if (o2 > 0 > o4) or (o2 < 0 < o4):
             o2 = -o2
-        angle = float(rng.integers(-cfg.rand_rotate, cfg.rand_rotate))
+        angle = (float(rng.integers(-cfg.rand_rotate, cfg.rand_rotate))
+                 if cfg.rand_rotate > 0 else 0.0)
     else:
         o1 = o2 = o3 = o4 = 0
         angle = 0.0

@@ -46,6 +46,44 @@ def deproject_depth(depth_m: jnp.ndarray, inv_k: jnp.ndarray,
     return pts_world, mask
 
 
+def load_extrinsics(dex_ycb_dir: str, extrinsics_name: str,
+                    serials: List[str]) -> List[np.ndarray]:
+    """Read calibration/extrinsics_<name>/extrinsics.yml into 4x4
+    cam->world transforms per serial (sequence_loader.py:86-99 layout:
+    12 row-major numbers per camera)."""
+    import yaml
+
+    path = os.path.join(dex_ycb_dir, "calibration",
+                        f"extrinsics_{extrinsics_name}", "extrinsics.yml")
+    with open(path) as f:
+        extr = yaml.safe_load(f)["extrinsics"]
+    out = []
+    for s in serials:
+        t34 = np.asarray(extr[s], np.float32).reshape(3, 4)
+        t44 = np.eye(4, dtype=np.float32)
+        t44[:3] = t34
+        out.append(t44)
+    return out
+
+
+def sequence_loader_from_meta(dex_ycb_dir: str, sequence: str,
+                              serials: List[str]) -> "SequenceLoader":
+    """Build a SequenceLoader straight from a sequence's meta.yml +
+    calibration tree (the reference ctor path, sequence_loader.py:40-99)."""
+    import yaml
+
+    seq_dir = os.path.join(dex_ycb_dir, sequence)
+    with open(os.path.join(seq_dir, "meta.yml")) as f:
+        meta = yaml.safe_load(f)
+    intrinsics = []
+    for s in serials:
+        with open(os.path.join(dex_ycb_dir, "calibration", "intrinsics",
+                               f"{s}_640x480.yml")) as f:
+            intrinsics.append(yaml.safe_load(f)["color"])
+    extrinsics = load_extrinsics(dex_ycb_dir, meta["extrinsics"], serials)
+    return SequenceLoader(seq_dir, serials, intrinsics, extrinsics)
+
+
 class SequenceLoader:
     """Frame loader over one DexYCB sequence directory across its cameras."""
 

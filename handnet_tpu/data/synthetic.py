@@ -76,9 +76,18 @@ def make_synthetic_dexycb(root: str, n_sequences: int = 2,
             color = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
             color[seg == 255] = (200, 170, 150)
 
-            # 21 joints uniformly inside the hand square, consistent 3D
+            # 21 joints uniformly inside the hand square, consistent 3D.
+            # Each joint stamps a depth bump with a joint-specific offset so
+            # the pose is INFERABLE from the depth image (a flat square would
+            # make joint regression an unlearnable task).
             ju = rng.uniform(u0 + 5, u0 + hw - 5, size=21)
             jv = rng.uniform(v0 + 5, v0 + hw - 5, size=21)
+            for j in range(21):
+                uu, vv = int(ju[j]), int(jv[j])
+                bump = int(z * 1000) - 20 - 6 * j  # unique per joint
+                depth_mm[max(vv - 2, 0):vv + 3, max(uu - 2, 0):uu + 3] = bump
+                color[max(vv - 2, 0):vv + 3, max(uu - 2, 0):uu + 3] = (
+                    10 * j + 20, 255 - 10 * j, 128)
             joint_3d = np.stack([(ju - cx) * z / fx, (jv - cy) * z / fy,
                                  np.full(21, z)], axis=1)
             joint_2d = np.stack([ju, jv], axis=1)

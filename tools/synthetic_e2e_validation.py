@@ -111,11 +111,14 @@ def main(argv=None):
     atrainer = A2JTrainer(acfg, TrainConfig(bf16=True, lr=3.5e-4),
                           steps_per_epoch=100)
     astate = atrainer.init_state(jax.random.PRNGKey(1))
-    # augment OFF: this is a memorization test of the machinery, not a
-    # generalization benchmark — ±180° rotations would need far more steps
-    a_src = A2JDataSource(ds, train_idx, augment=False,
+    # shift-only augmentation: random crop shifts mimic detector-box noise at
+    # inference (the pipeline crops from detected boxes, not seg boxes);
+    # ±180° rotations would need far more steps, so rand_rotate=0. The crop
+    # padding matches the pipeline pad below for the same reason.
+    a_src = A2JDataSource(ds, train_idx, augment=True,
                           cfg=A2JSampleConfig(crop_w=args.crop,
-                                              crop_h=args.crop))
+                                              crop_h=args.crop,
+                                              bbox_pad=0.4, rand_rotate=0))
     aloader = PrefetchLoader(a_src, args.batch, shuffle=True, num_workers=4)
     t0 = time.time()
     step = 0
@@ -144,7 +147,8 @@ def main(argv=None):
 
     fcfg_eval = dataclasses.replace(fcfg, score_thresh=0.5)
     cfg = HandNetConfig(a2j=acfg, fcos=fcfg_eval,
-                        pipeline=PipelineConfig(crop_size=args.crop))
+                        pipeline=PipelineConfig(crop_size=args.crop,
+                                                pad_percent=0.4))
     pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
     variables = {
         "detector": {"params": fstate.params,
