@@ -95,6 +95,10 @@ class A2JSampleConfig:
     bbox_pad: float = 0.3
     rand_rotate: float = 180.0
     rand_shift_frac: float = 0.1
+    # random box-scale jitter about the center: robustness to detector-box
+    # framing at inference (the reference declares RandScale=(1.0, 0.5) at
+    # a2jdataset.py:71 but never applies it; 0 disables)
+    rand_scale_frac: float = 0.0
 
 
 def build_a2j_sample(depth_m: np.ndarray, seg: np.ndarray,
@@ -114,6 +118,14 @@ def build_a2j_sample(depth_m: np.ndarray, seg: np.ndarray,
     if bbox is None:
         return None
     rng = rng or np.random.default_rng()
+
+    if augment and cfg.rand_scale_frac > 0:
+        s = float(rng.uniform(1.0 - cfg.rand_scale_frac,
+                              1.0 + cfg.rand_scale_frac))
+        cx, cy = (bbox[0] + bbox[2]) / 2.0, (bbox[1] + bbox[3]) / 2.0
+        hw = (bbox[2] - bbox[0]) / 2.0 * s
+        hh = (bbox[3] - bbox[1]) / 2.0 * s
+        bbox = np.array([cx - hw, cy - hh, cx + hw, cy + hh])
 
     if augment:
         w = bbox[2] - bbox[0]

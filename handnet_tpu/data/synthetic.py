@@ -84,7 +84,9 @@ def make_synthetic_dexycb(root: str, n_sequences: int = 2,
             jv = rng.uniform(v0 + 5, v0 + hw - 5, size=21)
             for j in range(21):
                 uu, vv = int(ju[j]), int(jv[j])
-                bump = int(z * 1000) - 20 - 6 * j  # unique per joint
+                # shallow (<=26mm) unique bump: localizable without making
+                # the surface depth diverge from the joint depth label
+                bump = int(z * 1000) - 5 - j
                 depth_mm[max(vv - 2, 0):vv + 3, max(uu - 2, 0):uu + 3] = bump
                 color[max(vv - 2, 0):vv + 3, max(uu - 2, 0):uu + 3] = (
                     10 * j + 20, 255 - 10 * j, 128)

@@ -118,7 +118,8 @@ def main(argv=None):
     a_src = A2JDataSource(ds, train_idx, augment=True,
                           cfg=A2JSampleConfig(crop_w=args.crop,
                                               crop_h=args.crop,
-                                              bbox_pad=0.4, rand_rotate=0))
+                                              bbox_pad=0.4, rand_rotate=0,
+                                              rand_scale_frac=0.3))
     aloader = PrefetchLoader(a_src, args.batch, shuffle=True, num_workers=4)
     t0 = time.time()
     step = 0
@@ -139,6 +140,33 @@ def main(argv=None):
             if step >= args.a2j_steps:
                 break
     print(f"a2j: {afirst:.3f} -> {alast:.3f} ({time.time() - t0:.0f}s)")
+
+    # A2J-only sanity: MPJPE on its own (seg-box) crops of the held-out set
+    from handnet_tpu.ops.geometry import convert_joints as _cj
+
+    a_test = A2JDataSource(ds, test_idx, augment=False,
+                           cfg=A2JSampleConfig(crop_w=args.crop,
+                                               crop_h=args.crop,
+                                               bbox_pad=0.4, rand_rotate=0))
+    a2j_only = []
+    depth_err = []
+    for i in range(len(a_test)):
+        s = a_test[i]
+        pred, _ = atrainer.eval_step(astate, {
+            "image": jnp.asarray(s["depth"][None]),
+            "jt_uvd": jnp.asarray(s["jt_uvd"][None])})
+        xyz = np.asarray(_cj(pred, jnp.asarray(s["box"][None]),
+                             jnp.asarray(s["paras"][None]),
+                             args.crop, args.crop))[0]
+        gt_xyz = np.asarray(_cj(jnp.asarray(s["jt_uvd"][None]),
+                                jnp.asarray(s["box"][None]),
+                                jnp.asarray(s["paras"][None]),
+                                args.crop, args.crop))[0]
+        a2j_only.append(float(np.linalg.norm(xyz - gt_xyz, axis=1).mean()))
+        depth_err.append(float(np.abs(np.asarray(pred)[0][:, 2]
+                                      - s["jt_uvd"][:, 2]).mean()) * 1000)
+    print(f"a2j-only MPJPE on held-out seg crops: {np.mean(a2j_only):.1f} mm "
+          f"(depth |err| {np.mean(depth_err):.1f} mm)")
 
     # ----- assemble the pipeline from trained weights ----------------------
     # a freshly quick-trained detector rarely clears the reference's hard 0.7
