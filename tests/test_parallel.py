@@ -76,3 +76,31 @@ def test_a2j_dp_step_runs_two_steps(rng):
             l0 = float(metrics["total_loss"])
     assert int(state.step) == 2
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_dryrun_multichip_self_provisions_like_driver():
+    """The driver imports __graft_entry__ with NO special env (sitecustomize
+    pins jax to the 1-chip axon backend) and calls dryrun_multichip(8).
+    Round 1 failed exactly here (MULTICHIP_r01.json rc=1) — lock it down by
+    invoking the same path in a clean child with the virtual-mesh env
+    stripped, which forces the self-provisioning re-exec."""
+    import subprocess
+    import sys
+    import os
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    # Force the parent to see a 1-device CPU platform (stand-in for the
+    # driver's 1-device axon backend) so the subprocess fallback triggers.
+    env["XLA_FLAGS"] = (env["XLA_FLAGS"] +
+                        " --xla_force_host_platform_device_count=1").strip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import __graft_entry__ as g; g.dryrun_multichip(8)")
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=560)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "dryrun_multichip(8): ok" in proc.stdout
