@@ -5,10 +5,14 @@ path: ros_demo.run_network equivalent) on whatever backend jax picks (the
 real TPU chip under the driver). Baseline target: >=1000 fps/chip
 (BASELINE.md; the reference publishes no numbers of its own).
 
-Operating point: the "fast" profile — detector at 512x640 (DexYCB frames are
-natively 480x640; the reference's min-800 upscale adds FLOPs, not
-information), batch 64, bf16 compute, fused conv towers. The parity profile
-(800x1088) is available via PROFILE=parity.
+Operating points live in configs/ and are selected with PROFILE:
+  PROFILE=fast   (default) detector at 512x640 — DexYCB frames are natively
+                 480x640; the reference's min-800 upscale adds FLOPs, not
+                 information. batch 128, bf16.
+  PROFILE=parity detector at 800x1088, replicating the reference's
+                 GeneralizedRCNNTransform min-800 resize. batch 16.
+Both run the detector with num_classes=3, ext=False, matching the reference
+pipeline's load_pretrained_fcos (handnet_pipeline/handnet_pipeline.py:14-24).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,25 +29,18 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 1000.0  # driver target from BASELINE.json
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def main():
-    from handnet_tpu.config import (A2JConfig, FCOSConfig, HandNetConfig,
-                                    PipelineConfig)
+    from handnet_tpu.config import load_config
     from handnet_tpu.models.pipeline import HandNetPipeline
 
     profile = os.environ.get("PROFILE", "fast")
-    if profile == "parity":
-        image_h, image_w, batch = 800, 1088, 16
-    else:
-        image_h, image_w, batch = 512, 640, 128
+    cfg = load_config(yaml_path=os.path.join(_REPO, "configs",
+                                             f"{profile}.yaml"))
+    batch = cfg.train.batch_size
 
-    cfg = HandNetConfig(
-        a2j=A2JConfig(),
-        fcos=FCOSConfig(num_classes=2, ext=False,
-                        image_h=image_h, image_w=image_w),
-        pipeline=PipelineConfig(),
-    )
     pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
     variables = pipe.init(jax.random.PRNGKey(0))
 
