@@ -177,11 +177,73 @@ def convert_fcos(state_dict: Dict[str, np.ndarray]) -> dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def convert_pose2mesh(state_dict: Dict[str, np.ndarray]) -> dict:
+    """Reference FlatPose2Mesh state dict -> {'params', 'batch_stats'}.
+
+    Layout from pose2mesh/lib/models/pose2mesh_net.py:8-28 (module names
+    ``pose_lifter`` / ``pose2mesh``), posenet.py:11-67 (LinearModel: w1,
+    linear_stages.{i}.{w1,batch_norm1,w2,batch_norm2}, w2 — the top-level
+    batch_norm1 is constructed but never used in forward, posenet.py:77-87,
+    so its entries are dropped), and meshnet.py:36-59 (fc upsample Linear +
+    interleaved cl/bn ModuleLists). Chebyshev cl weights are plain Linear
+    [Fout, Fin*K] with Fin-major/K-minor input flattening
+    (cheby_graph_conv.py:33-35) — identical to this package's cheby_conv
+    flattening, so a pure transpose suffices. Load path: ros_demo.py:131-146
+    (``checkpoint['model_state_dict']``).
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+    for key, value in state_dict.items():
+        value = np.asarray(value)
+        if key.startswith("module."):
+            key = key[len("module."):]
+        if key.startswith("pose_lifter.batch_norm1."):
+            continue  # constructed but unused (posenet.py:60,77-87)
+        m = re.match(r"pose_lifter\.(w1|w2)\.(.*)", key)
+        if m:
+            _store_norm_or_conv(params, batch_stats,
+                                ("pose_lifter", m.group(1)),
+                                m.group(2), value)
+            continue
+        m = re.match(
+            r"pose_lifter\.linear_stages\.(\d+)\.(w1|w2|batch_norm1|"
+            r"batch_norm2)\.(.*)", key)
+        if m:
+            name = {"w1": "w1", "w2": "w2",
+                    "batch_norm1": "bn1", "batch_norm2": "bn2"}[m.group(2)]
+            _store_norm_or_conv(
+                params, batch_stats,
+                ("pose_lifter", f"stage{m.group(1)}", name),
+                m.group(3), value)
+            continue
+        m = re.match(r"pose2mesh\.fc\.(.*)", key)
+        if m:
+            _store_norm_or_conv(params, batch_stats, ("pose2mesh", "fc"),
+                                m.group(1), value)
+            continue
+        m = re.match(r"pose2mesh\.cl\.(\d+)\.(.*)", key)
+        if m:
+            _store_norm_or_conv(params, batch_stats,
+                                ("pose2mesh", f"cl{m.group(1)}"),
+                                m.group(2), value)
+            continue
+        m = re.match(r"pose2mesh\.bn\.(\d+)\.(.*)", key)
+        if m:
+            _store_norm_or_conv(params, batch_stats,
+                                ("pose2mesh", f"cl{m.group(1)}", "bn"),
+                                m.group(2), value)
+            continue
+        raise KeyError(f"unmapped pose2mesh key: {key}")
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth/.ckpt into a flat numpy state dict (cpu, no grad)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+        ckpt = ckpt["model_state_dict"]  # pose2mesh .pth.tar (ros_demo.py:144)
     if isinstance(ckpt, dict) and "model" in ckpt:
         ckpt = ckpt["model"]
     if isinstance(ckpt, dict) and "state_dict" in ckpt:

@@ -106,12 +106,15 @@ class ChebyLayer(nn.Module):
     def __call__(self, x, L, train: bool = False):
         fin = x.shape[-1]
         scale = np.sqrt(2.0 / (self.k * fin + self.fout))
-        weight = self.param(
-            "kernel", nn.initializers.uniform(scale=2 * scale),
-            (fin * self.k, self.fout), jnp.float32)
-        # uniform(scale) is [0, scale); shift to [-scale, scale) like the
-        # reference's uniform_(-scale, scale) (meshnet.py:50-52)
-        weight = weight - scale
+
+        def symmetric_uniform(key, shape, dtype=jnp.float32):
+            # reference's uniform_(-scale, scale) init (meshnet.py:50-52);
+            # stored params ARE the effective weights, so converted torch
+            # checkpoints load verbatim (convert/torch_weights.py).
+            return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+        weight = self.param("kernel", symmetric_uniform,
+                            (fin * self.k, self.fout), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.fout,),
                           jnp.float32)
         y = cheby_conv(x, L, weight.astype(self.dtype),

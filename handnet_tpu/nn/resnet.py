@@ -160,10 +160,16 @@ class ResNet(nn.Module):
         for i, num_blocks in enumerate(self.stage_sizes):
             features = self.width * (2 ** i)
             for j in range(num_blocks):
+                # the first block of a dilated stage keeps the PREVIOUS
+                # stage's dilation — both a2j/resnet.py:133-145 (its
+                # _make_layer passes no dilation to block 0) and
+                # torchvision's previous_dilation convention do this
+                dilation = (self.stage_dilations[i] if j > 0
+                            else self.stage_dilations[i - 1] if i > 0 else 1)
                 x = self.block(
                     features=features,
                     strides=self.stage_strides[i] if j == 0 else 1,
-                    dilation=self.stage_dilations[i],
+                    dilation=dilation,
                     norm=norm,
                     dtype=self.dtype,
                     name=f"layer{i + 1}_{j}",

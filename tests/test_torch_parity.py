@@ -1,0 +1,157 @@
+"""Cross-implementation parity: torch replicas -> converter -> flax models.
+
+Golden parity against the PUBLISHED checkpoints can't run in this sandbox
+(no torchvision, no checkpoints, no egress — tests/test_golden_parity.py
+skips). These tests close most of that gap in-sandbox: a from-scratch torch
+replica of each reference architecture (tests/torch_oracles.py, layouts cited
+there) is randomly initialized, its state dict converted with
+convert/torch_weights.py, and the flax model's eval-mode output compared
+against the torch forward. This validates, end to end:
+
+* every converter key mapping and tensor transpose,
+* eval-mode BatchNorm statistics handling,
+* the a2j anchor-pairing quirk (permute(0,3,2,1), transposed_anchors),
+* the dilated-resnet first-block dilation quirk (a2j/resnet.py:133-145),
+* meshnet's F.interpolate residuals / graph upsampling / cheby flattening.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from handnet_tpu.config import A2JConfig  # noqa: E402
+from handnet_tpu.convert.torch_weights import (convert_a2j,  # noqa: E402
+                                               convert_pose2mesh)
+from handnet_tpu.models.a2j import A2JSystem  # noqa: E402
+from handnet_tpu.models.pose2mesh import Pose2Mesh  # noqa: E402
+from handnet_tpu.ops import graph as G  # noqa: E402
+from torch_oracles import (TorchA2J, TorchFlatPose2Mesh,  # noqa: E402
+                                 randomize_, state_dict_numpy,
+                                 torch_a2j_anchors, torch_a2j_decode)
+
+SKELETON = ((0, 1), (0, 5), (0, 9), (0, 13), (0, 17), (1, 2), (2, 3), (3, 4),
+            (5, 6), (6, 7), (7, 8), (9, 10), (10, 11), (11, 12), (13, 14),
+            (14, 15), (15, 16), (17, 18), (18, 19), (19, 20))
+
+
+def _tree_shapes(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_tree_shapes(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = tuple(np.shape(v))
+    return out
+
+
+def _assert_same_tree(converted, initialized):
+    cs, js = _tree_shapes(converted), _tree_shapes(initialized)
+    assert cs == js, (
+        f"missing in converted: {sorted(set(js) - set(cs))[:8]}; "
+        f"extra in converted: {sorted(set(cs) - set(js))[:8]}; "
+        f"shape diffs: "
+        f"{[(k, cs[k], js[k]) for k in set(cs) & set(js) if cs[k] != js[k]][:8]}")
+
+
+def random_mesh(rng, n_verts=80, n_faces=200):
+    faces = rng.integers(0, n_verts, size=(n_faces, 3))
+    faces[:, 1] = (faces[:, 0] + 1) % n_verts
+    faces[:, 2] = (faces[:, 0] + 2) % n_verts
+    faces[:n_verts, 0] = np.arange(n_verts)
+    faces[:n_verts, 1] = (np.arange(n_verts) + 1) % n_verts
+    faces[:n_verts, 2] = (np.arange(n_verts) + 2) % n_verts
+    return faces
+
+
+def test_pose2mesh_parity_vs_torch_replica():
+    rng = np.random.default_rng(0)
+    pyr = G.build_graph_pyramid(random_mesh(rng), 21, SKELETON, levels=6)
+    laps = list(pyr.laplacians)
+    del laps[-2]  # meshnet.py:38
+
+    tmodel = TorchFlatPose2Mesh(laps, num_joints=21, hid=128, stages=2)
+    randomize_(tmodel, seed=1)
+    tmodel.eval()
+
+    pose2d = rng.normal(size=(3, 21, 2)).astype(np.float32)
+    with torch.no_grad():
+        tmesh, tpose3d = tmodel(torch.as_tensor(pose2d))
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_pose2mesh(state_dict_numpy(tmodel)))
+
+    from handnet_tpu.config import Pose2MeshConfig
+    model = Pose2Mesh(pyramid=pyr, cfg=Pose2MeshConfig(posenet_hid=128))
+    ref = model.init(jax.random.PRNGKey(0),
+                     jnp.asarray(pose2d), train=False)
+    _assert_same_tree(variables["params"], ref["params"])
+    _assert_same_tree(variables["batch_stats"], ref["batch_stats"])
+
+    mesh, pose3d = model.apply(variables, jnp.asarray(pose2d), train=False)
+    np.testing.assert_allclose(np.asarray(pose3d), tpose3d.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mesh), tmesh.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fcos_parity_vs_torch_replica():
+    from torch_oracles import TorchFCOS
+
+    from handnet_tpu.config import FCOSConfig
+    from handnet_tpu.convert.torch_weights import convert_fcos
+    from handnet_tpu.models.fcos import FCOSSystem
+
+    rng = np.random.default_rng(0)
+    tmodel = TorchFCOS(num_classes=3, ext=True)
+    randomize_(tmodel, seed=3, scale=0.05)
+    tmodel.eval()
+
+    imgs = rng.normal(size=(2, 3, 96, 128)).astype(np.float32)
+    with torch.no_grad():
+        t_head = tmodel(torch.as_tensor(imgs))
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_fcos(state_dict_numpy(tmodel)))
+
+    system = FCOSSystem(FCOSConfig(num_classes=3, ext=True,
+                                   image_h=96, image_w=128))
+    ref = system.init(jax.random.PRNGKey(0))
+    _assert_same_tree(variables["params"], ref["params"])
+    _assert_same_tree(variables["batch_stats"], ref["batch_stats"])
+
+    head = system.module.apply(variables,
+                               jnp.asarray(np.transpose(imgs, (0, 2, 3, 1))),
+                               train=False)
+    for key in ("cls_logits", "hand_lr", "hand_contact_state", "hand_dxdy",
+                "bbox_regression", "bbox_ctrness"):
+        np.testing.assert_allclose(
+            np.asarray(head[key]), t_head[key].numpy(),
+            rtol=1e-3, atol=2e-4, err_msg=key)
+
+
+def test_a2j_parity_vs_torch_replica():
+    rng = np.random.default_rng(0)
+    tmodel = TorchA2J(num_joints=21)
+    randomize_(tmodel, seed=2, scale=0.05)
+    tmodel.eval()
+
+    depth = rng.uniform(0.3, 1.0, size=(2, 1, 176, 176)).astype(np.float32)
+    with torch.no_grad():
+        cls, reg, dep = tmodel(torch.as_tensor(depth))
+    t_uvd = torch_a2j_decode(cls, reg, dep, torch_a2j_anchors())
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_a2j(state_dict_numpy(tmodel)))
+
+    system = A2JSystem(A2JConfig(transposed_anchors=True))
+    ref = system.init(jax.random.PRNGKey(0))
+    _assert_same_tree(variables["params"], ref["params"])
+    _assert_same_tree(variables["batch_stats"], ref["batch_stats"])
+
+    uvd = np.asarray(system.predict(
+        variables, jnp.asarray(np.transpose(depth, (0, 2, 3, 1)))))
+    np.testing.assert_allclose(uvd, t_uvd, rtol=1e-3, atol=5e-3)

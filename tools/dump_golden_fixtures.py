@@ -24,6 +24,15 @@ import sys
 import numpy as np
 
 
+def _dump_state_dict(out_dir: str, name: str, model) -> None:
+    """Flat numpy npz of the torch state dict — what
+    tests/test_golden_parity.py feeds to convert/torch_weights.py."""
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()
+          if hasattr(v, "detach") and v.dtype.is_floating_point}
+    np.savez(os.path.join(out_dir, name), **sd)
+    print(f"{name}: {len(sd)} tensors")
+
+
 def dump_a2j(out_dir: str, checkpoint: str, n: int = 4, seed: int = 0):
     import torch
     from a2j.a2j import A2JModel  # reference import
@@ -40,6 +49,47 @@ def dump_a2j(out_dir: str, checkpoint: str, n: int = 4, seed: int = 0):
     np.savez(os.path.join(out_dir, "a2j_stage.npz"),
              depth=depth, uvd=uvd, checkpoint=os.path.basename(checkpoint))
     print(f"a2j_stage.npz: {uvd.shape}")
+    _dump_state_dict(out_dir, "a2j_state_dict.npz", model)
+
+
+_P2M_SKELETON = ((0, 1), (0, 5), (0, 9), (0, 13), (0, 17), (1, 2), (2, 3),
+                 (3, 4), (5, 6), (6, 7), (7, 8), (9, 10), (10, 11), (11, 12),
+                 (13, 14), (14, 15), (15, 16), (17, 18), (18, 19), (19, 20))
+_P2M_HORI_CONN = ((1, 5), (5, 9), (9, 13), (13, 17), (2, 6), (6, 10),
+                  (10, 14), (14, 18), (3, 7), (7, 11), (11, 15), (15, 19),
+                  (4, 8), (8, 12), (12, 16), (16, 20))
+
+
+def dump_pose2mesh(out_dir: str, checkpoint: str, n: int = 4, seed: int = 0):
+    """FlatPose2Mesh exactly as the demo builds it (ros_demo.py:131-146:
+    MANO template faces, skeleton + hori_conn extra pairs, levels=6)."""
+    import torch
+    from models import pose2mesh_net  # reference import (pose2mesh/lib)
+    from graph_utils import build_coarse_graphs
+    from _mano import MANO  # reference mano wrapper (needs MANO assets)
+
+    rng = np.random.default_rng(seed)
+    ckpt = torch.load(checkpoint, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state_dict", ckpt)
+    mano = MANO()
+    _, graph_L, _, _ = build_coarse_graphs(mano.face, 21, _P2M_SKELETON,
+                                           _P2M_HORI_CONN, levels=6)
+    model = pose2mesh_net.get_model(21, graph_L)
+    model.load_state_dict({k.replace("module.", "", 1): v
+                           for k, v in sd.items()})
+    model.eval()
+
+    pose2d = rng.normal(size=(n, 21, 2)).astype(np.float32)
+    with torch.no_grad():
+        mesh, pose3d = model(torch.tensor(pose2d))
+    # faces ship in the fixture so the consumer can rebuild the pyramid
+    # with ops/graph.py:build_graph_pyramid and the same extra pairs
+    np.savez(os.path.join(out_dir, "pose2mesh_stage.npz"),
+             pose2d=pose2d, mesh=mesh.numpy(), pose3d=pose3d.numpy(),
+             faces=np.asarray(mano.face, np.int64),
+             checkpoint=os.path.basename(checkpoint))
+    print(f"pose2mesh_stage.npz: {mesh.shape}")
+    _dump_state_dict(out_dir, "pose2mesh_state_dict.npz", model)
 
 
 def dump_fcos(out_dir: str, checkpoint: str, n: int = 2, seed: int = 0):
@@ -61,6 +111,7 @@ def dump_fcos(out_dir: str, checkpoint: str, n: int = 2, seed: int = 0):
                 for i, d in enumerate(dets)
                 for k in ("boxes", "scores", "labels")})
     print(f"fcos_stage.npz: {len(dets)} images")
+    _dump_state_dict(out_dir, "fcos_state_dict.npz", model)
 
 
 def dump_mano(out_dir: str, mano_root: str, n: int = 4, seed: int = 0):
@@ -90,6 +141,9 @@ if __name__ == "__main__":
     parser.add_argument("--out-dir", default="fixtures")
     parser.add_argument("--a2j-checkpoint", default="models/a2j.pth")
     parser.add_argument("--fcos-checkpoint", default="models/fcos.pth")
+    parser.add_argument("--pose2mesh-checkpoint",
+                        default="experiment/pose2mesh_manoJ_train_freihand/"
+                                "final.pth.tar")
     parser.add_argument("--mano-root", default="misc/mano/models")
     args = parser.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
@@ -97,5 +151,7 @@ if __name__ == "__main__":
         dump_a2j(args.out_dir, args.a2j_checkpoint)
     if os.path.exists(args.fcos_checkpoint):
         dump_fcos(args.out_dir, args.fcos_checkpoint)
+    if os.path.exists(args.pose2mesh_checkpoint):
+        dump_pose2mesh(args.out_dir, args.pose2mesh_checkpoint)
     if os.path.isdir(args.mano_root):
         dump_mano(args.out_dir, args.mano_root)
