@@ -1,23 +1,28 @@
-"""COCO-style detection evaluation (AP@[.5:.95], AP50/75, area ranges).
+"""COCO-style evaluation: bbox, segm (mask IoU), keypoints (OKS) AP.
 
 Reference: dex-ycb-toolkit/dex_ycb_toolkit/coco_eval.py:26-262 builds COCO
-annotations on the fly and calls pycocotools' COCOeval. Here the matcher +
-PR accumulation are implemented directly (same published COCO protocol:
-greedy per-IoU-threshold matching in descending score order, crowd-free,
-101-point interpolated AP), over in-memory records — no JSON round trip.
+annotations on the fly and calls pycocotools' COCOeval over the three tasks
+('bbox', 'segm', 'keypoints', :215-236, with kpt_oks_sigmas = [0.05]*21,
+:23). Here the matcher + PR accumulation are implemented directly (same
+published COCO protocol: greedy per-IoU-threshold matching in descending
+score order, crowd-free, 101-point interpolated AP), over in-memory records
+— no JSON round trip. Segm IoU uses the native RLE kernel (data/rle.py);
+OKS follows pycocotools' computeOks.
 
-API: ``CocoDetEvaluator(gt).evaluate(detections)`` -> metric dict.
-GT/detections reuse eval.voc record types (GTObject label = category name or
-id via ``name``).
+API: ``CocoDetEvaluator(gt).evaluate(detections, labels, iou_type=...)``
+-> metric dict. GT/detections reuse eval.voc record types (GTObject label =
+category name or id via ``name``); masks/keypoints ride in parallel dicts
+keyed by the record's identity (see evaluate args).
 """
 
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from handnet_tpu.data import rle as rle_codec
 from handnet_tpu.eval.voc import Detection, GTObject
 
 IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
@@ -28,6 +33,8 @@ AREA_RANGES = {
     "medium": (32.0 ** 2, 96.0 ** 2),
     "large": (96.0 ** 2, 1e10),
 }
+# reference coco_eval.py:23 — untuned hand-joint sigmas
+KPT_OKS_SIGMAS = np.full(21, 0.05)
 
 
 def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -41,6 +48,30 @@ def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / np.maximum(union, 1e-9)
 
 
+def _oks_matrix(dt_kpts: Sequence[np.ndarray], gt_kpts: Sequence[np.ndarray],
+                gt_areas: Sequence[float],
+                sigmas: np.ndarray = KPT_OKS_SIGMAS) -> np.ndarray:
+    """Object keypoint similarity, pycocotools computeOks semantics.
+
+    dt_kpts: list of ``[J, 2+]`` predicted (x, y, ...) arrays.
+    gt_kpts: list of ``[J, 3]`` (x, y, vis) arrays; joints with vis==0 are
+    excluded. gt_areas: GT object areas (the OKS scale term).
+    """
+    variances = (2.0 * np.asarray(sigmas)) ** 2                   # [J]
+    out = np.zeros((len(dt_kpts), len(gt_kpts)))
+    for g, (gk, area) in enumerate(zip(gt_kpts, gt_areas)):
+        gk = np.asarray(gk, np.float64)
+        vis = gk[:, 2] > 0
+        if not vis.any():
+            continue
+        for d, dk in enumerate(dt_kpts):
+            dk = np.asarray(dk, np.float64)
+            d2 = ((dk[:, 0] - gk[:, 0]) ** 2 + (dk[:, 1] - gk[:, 1]) ** 2)
+            e = d2 / variances / (max(area, 1e-9) + np.spacing(1)) / 2.0
+            out[d, g] = float(np.mean(np.exp(-e[vis])))
+    return out
+
+
 class CocoDetEvaluator:
     def __init__(self, annotations: Dict[str, List[GTObject]],
                  max_dets: int = 100):
@@ -50,9 +81,29 @@ class CocoDetEvaluator:
                                   for o in objs})
 
     def evaluate(self, detections: Sequence[Detection],
-                 labels: Sequence[str] | None = None) -> Dict[str, float]:
-        """detections carry category via ``Detection.handstate``? No —
-        category comes via the parallel ``labels`` list (or all one class)."""
+                 labels: Sequence[str] | None = None,
+                 iou_type: str = "bbox",
+                 dt_masks: Optional[Dict[int, dict]] = None,
+                 gt_masks: Optional[Dict[int, dict]] = None,
+                 dt_keypoints: Optional[Dict[int, np.ndarray]] = None,
+                 gt_keypoints: Optional[Dict[int, np.ndarray]] = None,
+                 ) -> Dict[str, float]:
+        """Evaluate one COCO task over the stored annotations.
+
+        Category comes via the parallel ``labels`` list (or all one class).
+        For ``iou_type='segm'``: ``dt_masks[id(det)]`` / ``gt_masks[id(gt)]``
+        map records to RLE dicts (data/rle.py:encode format).
+        For ``iou_type='keypoints'``: ``dt_keypoints[id(det)]`` ``[J, 2+]``
+        and ``gt_keypoints[id(gt)]`` ``[J, 3]`` (x, y, vis); GT objects with
+        no visible keypoints are ignored (COCO num_keypoints==0 convention).
+        """
+        if iou_type not in ("bbox", "segm", "keypoints"):
+            raise ValueError(iou_type)
+        if iou_type == "segm" and (dt_masks is None or gt_masks is None):
+            raise ValueError("segm eval needs dt_masks and gt_masks")
+        if iou_type == "keypoints" and (dt_keypoints is None
+                                        or gt_keypoints is None):
+            raise ValueError("keypoints eval needs dt/gt keypoints")
         if labels is None:
             labels = [self.categories[0]] * len(detections)
 
@@ -60,6 +111,25 @@ class CocoDetEvaluator:
         det_by = defaultdict(list)
         for d, c in zip(detections, labels):
             det_by[(c, d.image_id)].append(d)
+
+        def _gt_area(o: GTObject) -> float:
+            if gt_masks is not None and id(o) in gt_masks:
+                return float(rle_codec.area(gt_masks[id(o)]))
+            return float((o.bbox[2] - o.bbox[0]) * (o.bbox[3] - o.bbox[1]))
+
+        def _iou_for(dets: List[Detection], gt: List[GTObject]) -> np.ndarray:
+            if not gt:
+                return np.zeros((len(dets), 0))
+            if iou_type == "segm":
+                return np.asarray(rle_codec.iou(
+                    [dt_masks[id(d)] for d in dets],
+                    [gt_masks[id(o)] for o in gt]))
+            if iou_type == "keypoints":
+                return _oks_matrix([dt_keypoints[id(d)] for d in dets],
+                                   [gt_keypoints[id(o)] for o in gt],
+                                   [_gt_area(o) for o in gt])
+            return _iou_xyxy(np.stack([d.bbox for d in dets]),
+                             np.stack([o.bbox for o in gt]))
 
         # tp flag matrix per category: [T, D] over all images
         ap_per_cat = {}
@@ -72,16 +142,17 @@ class CocoDetEvaluator:
             n_gt = 0
             for image_id, objs in self.annotations.items():
                 gt = [o for o in objs if o.name == cat]
+                if iou_type == "keypoints":
+                    # COCO ignores GT with num_keypoints == 0
+                    gt = [o for o in gt
+                          if id(o) in gt_keypoints
+                          and np.asarray(gt_keypoints[id(o)])[:, 2].any()]
                 n_gt += len(gt)
                 dets = sorted(det_by.get((cat, image_id), []),
                               key=lambda d: -d.score)[:self.max_dets]
                 if not dets:
                     continue
-                gt_boxes = (np.stack([o.bbox for o in gt])
-                            if gt else np.zeros((0, 4)))
-                dt_boxes = np.stack([d.bbox for d in dets])
-                iou = (_iou_xyxy(dt_boxes, gt_boxes) if len(gt)
-                       else np.zeros((len(dets), 0)))
+                iou = _iou_for(dets, gt)
                 for d_idx, det in enumerate(dets):
                     scores_all.append(det.score)
                     row = []

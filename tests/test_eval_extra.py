@@ -131,3 +131,80 @@ def test_deproject_depth_roundtrip(rng):
         v = p[1] * fy / p[2] + cy
         np.testing.assert_allclose([u, v], [x, y], atol=1e-3)
         np.testing.assert_allclose(p[2], depth[c, y, x], atol=1e-6)
+
+
+# --- segm + keypoints tasks (reference coco_eval.py:215-236) ---------------
+
+
+def _rle_rect(h, w, x1, y1, x2, y2):
+    from handnet_tpu.data import rle as R
+    m = np.zeros((h, w), np.uint8)
+    m[y1:y2, x1:x2] = 1
+    return R.encode(m)
+
+
+def test_coco_segm_perfect_and_half_overlap():
+    gt = GTObject("hand", box(10, 10, 50, 50))
+    annos = {"im0": [gt]}
+    d_exact = Detection("im0", 0.9, box(10, 10, 50, 50))
+    gt_m = {id(gt): _rle_rect(100, 100, 10, 10, 50, 50)}
+    ev = CocoDetEvaluator(annos)
+
+    out = ev.evaluate([d_exact], ["hand"], iou_type="segm",
+                      dt_masks={id(d_exact): _rle_rect(100, 100, 10, 10, 50, 50)},
+                      gt_masks=gt_m)
+    assert out["AP"] > 0.99
+
+    # half-width mask: IoU = 0.5 exactly -> counts at thr 0.5 only
+    d_half = Detection("im0", 0.9, box(10, 10, 50, 50))
+    out = ev.evaluate([d_half], ["hand"], iou_type="segm",
+                      dt_masks={id(d_half): _rle_rect(100, 100, 10, 10, 30, 50)},
+                      gt_masks=gt_m)
+    assert out["AP50"] == 1.0
+    assert out["AP75"] == 0.0
+
+
+def test_coco_keypoints_oks():
+    gt = GTObject("hand", box(0, 0, 100, 100))
+    annos = {"im0": [gt]}
+    gkpts = np.zeros((21, 3))
+    gkpts[:, 0] = np.linspace(10, 90, 21)
+    gkpts[:, 1] = 50.0
+    gkpts[:, 2] = 2  # visible
+    # exact prediction -> OKS 1 -> perfect AP
+    d = Detection("im0", 0.9, box(0, 0, 100, 100))
+    ev = CocoDetEvaluator(annos)
+    out = ev.evaluate([d], ["hand"], iou_type="keypoints",
+                      dt_keypoints={id(d): gkpts[:, :2]},
+                      gt_keypoints={id(gt): gkpts})
+    assert out["AP"] > 0.99
+
+    # hand-computed OKS: uniform offset delta on every joint.
+    # oks = exp(-delta^2 / ((2*0.05)^2 * area * 2)); pick delta so oks ~ 0.6:
+    # delta = sqrt(-ln(0.6) * 0.01 * 10000 * 2) ~ 10.1  (area = 100*100)
+    delta = np.sqrt(-np.log(0.6) * (2 * 0.05) ** 2 * 100 * 100 * 2)
+    shifted = gkpts[:, :2] + np.array([delta, 0.0])
+    out = ev.evaluate([d], ["hand"], iou_type="keypoints",
+                      dt_keypoints={id(d): shifted},
+                      gt_keypoints={id(gt): gkpts})
+    # OKS 0.6: matches at thresholds .50/.55/.60, misses above
+    assert out["AP50"] == 1.0
+    assert out["AP75"] == 0.0
+    assert abs(out["AP"] - 3 / 10) < 1e-6
+
+
+def test_coco_keypoints_ignores_gt_without_visible_joints():
+    gt_vis = GTObject("hand", box(0, 0, 100, 100))
+    gt_hidden = GTObject("hand", box(0, 0, 100, 100))
+    annos = {"im0": [gt_vis, gt_hidden]}
+    gk = np.ones((21, 3))
+    gk[:, :2] = 50.0
+    hidden = gk.copy()
+    hidden[:, 2] = 0
+    d = Detection("im0", 0.9, box(0, 0, 100, 100))
+    out = CocoDetEvaluator(annos).evaluate(
+        [d], ["hand"], iou_type="keypoints",
+        dt_keypoints={id(d): gk[:, :2]},
+        gt_keypoints={id(gt_vis): gk, id(gt_hidden): hidden})
+    # the invisible GT must not count as a missed object
+    assert out["AP"] > 0.99
