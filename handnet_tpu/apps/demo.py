@@ -81,6 +81,12 @@ def main(argv=None):
     parser.add_argument("--mesh", action="store_true",
                         help="lift joints to a MANO mesh (needs pose2mesh "
                              "weights; runs with random weights otherwise)")
+    parser.add_argument("--render-mesh", action="store_true",
+                        help="rasterize the predicted mesh into each frame "
+                             "(software z-buffer; the ros_demo.py:51-128 "
+                             "pyrender overlay equivalent); implies --mesh. "
+                             "Writes overlay_NNNN.png (or .npy without an "
+                             "image backend) next to --out")
     parser.add_argument("--paras", type=float, nargs=4,
                         default=[600.0, 600.0, 320.0, 240.0],
                         help="fx fy cx cy")
@@ -115,9 +121,13 @@ def main(argv=None):
     paras = jnp.asarray(np.asarray(args.paras, np.float32)[None])
     fwd = jax.jit(lambda v, im, d: pipe(v, im, d, paras))
 
-    mesh_fn = None
-    if args.mesh:
-        mesh_fn = build_mesh_head()
+    mesh_fn = mesh_faces = None
+    if args.mesh or args.render_mesh:
+        mesh_fn, mesh_faces = build_mesh_head()
+    overlay_dir = None
+    if args.render_mesh:
+        overlay_dir = os.path.dirname(os.path.abspath(args.out or "out.npz"))
+        os.makedirs(overlay_dir, exist_ok=True)
 
     results = []
     times = []
@@ -148,6 +158,10 @@ def main(argv=None):
         if mesh_fn is not None and frame_result["found"]:
             uv = frame_result["joints_uvd"][:, :2]
             frame_result["mesh"] = mesh_fn(uv)
+            if overlay_dir is not None:
+                _write_overlay(overlay_dir, i, rgb, frame_result["mesh"],
+                               mesh_faces, frame_result["joints_xyz"],
+                               args.paras)
         results.append(frame_result)
 
     found = sum(r["found"] for r in results)
@@ -161,9 +175,37 @@ def main(argv=None):
         print(f"wrote {args.out}")
 
 
+def _write_overlay(out_dir: str, idx: int, rgb: np.ndarray,
+                   verts_rel: np.ndarray, faces: np.ndarray,
+                   joints_xyz: np.ndarray, paras) -> None:
+    """Rasterize the (root-anchored) predicted mesh into the frame and save —
+    the pyrender composite of ros_demo.py:51-128, GL-free."""
+    from handnet_tpu.utils.raster import render_mesh_overlay
+
+    fx, fy, cx, cy = paras
+    k = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+    verts_cam = np.asarray(verts_rel, np.float64) + joints_xyz[0]  # wrist
+    frame8 = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
+    overlay = render_mesh_overlay(frame8, verts_cam, faces, k)
+    path = os.path.join(out_dir, f"overlay_{idx:04d}")
+    try:
+        import cv2
+
+        cv2.imwrite(path + ".png", overlay[:, :, ::-1])
+    except ImportError:
+        try:
+            from PIL import Image
+
+            Image.fromarray(overlay).save(path + ".png")
+        except ImportError:
+            np.save(path + ".npy", overlay)
+
+
 def build_mesh_head():
     """Pose2Mesh lifting head over the detected 2D joints
-    (ros_demo.py:131-168 equivalent; random weights unless trained)."""
+    (ros_demo.py:131-168 equivalent; random weights unless trained).
+
+    Returns (run_fn, faces) — faces for downstream overlay rendering."""
     from handnet_tpu.models.pose2mesh import (Pose2Mesh,
                                               normalize_joints_for_pose2mesh)
     from handnet_tpu.ops.graph import build_graph_pyramid
@@ -186,7 +228,7 @@ def build_mesh_head():
         verts = np.asarray(mesh[0])[pyramid.perm_reverse[:778]]
         return verts
 
-    return run
+    return run, faces
 
 
 if __name__ == "__main__":

@@ -75,3 +75,22 @@ def test_train_pose2mesh_smoke(tmp_path):
     train_pose2mesh.main(["--synthetic", "--steps", "3", "--batch", "4",
                           "--output", out])
     assert os.path.exists(os.path.join(out, "params.npz"))
+
+
+def test_demo_overlay_writer(tmp_path):
+    """--render-mesh path: the overlay writer rasterizes + saves a frame
+    (image backend or .npy fallback)."""
+    import numpy as np
+
+    from handnet_tpu.apps.demo import _write_overlay
+
+    rgb = np.random.default_rng(0).uniform(size=(48, 64, 3)).astype(np.float32)
+    verts = np.array([[-30.0, -30, 0], [30, -30, 0], [30, 30, 0],
+                      [-30, 30, 0]])
+    faces = np.array([[0, 1, 2], [0, 2, 3]])
+    joints_xyz = np.zeros((21, 3))
+    joints_xyz[:, 2] = 400.0
+    _write_overlay(str(tmp_path), 3, rgb, verts, faces, joints_xyz,
+                   [60.0, 60.0, 32.0, 24.0])
+    import os
+    assert any(f.startswith("overlay_0003") for f in os.listdir(tmp_path))
