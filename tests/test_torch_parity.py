@@ -133,6 +133,36 @@ def test_fcos_parity_vs_torch_replica():
             rtol=1e-3, atol=2e-4, err_msg=key)
 
 
+def test_mano_parity_vs_torch_replica():
+    """Batched-einsum jax ManoLayer vs a sequential per-finger torch walk of
+    the reference chain (manolayer.py:110-274), on synthetic assets."""
+    from torch_oracles import TorchManoLayer
+
+    from handnet_tpu.models.mano import ManoAssets, ManoLayer
+
+    rng = np.random.default_rng(0)
+    for side in ("right", "left"):
+        assets = ManoAssets.synthetic(rng, side=side)
+        # non-trivial PCA basis + mean so the coeff path is exercised
+        comps = rng.normal(size=(45, 45)).astype(np.float32) * 0.5
+        mean = rng.normal(size=45).astype(np.float32) * 0.1
+        import dataclasses
+        assets = dataclasses.replace(assets, hands_components=comps,
+                                     hands_mean=mean)
+
+        pose = rng.normal(size=(3, 48)).astype(np.float32) * 0.3
+        betas = rng.normal(size=(3, 10)).astype(np.float32) * 0.3
+        trans = rng.normal(size=(3, 3)).astype(np.float32) * 0.1
+
+        layer = ManoLayer(assets, ncomps=45, flat_hand_mean=False)
+        verts, joints = layer(jnp.asarray(pose), jnp.asarray(betas),
+                              jnp.asarray(trans))
+        tverts, tjoints = TorchManoLayer(assets, 45, False)(pose, betas,
+                                                            trans)
+        np.testing.assert_allclose(np.asarray(joints), tjoints, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(verts), tverts, atol=1e-2)
+
+
 def test_a2j_parity_vs_torch_replica():
     rng = np.random.default_rng(0)
     tmodel = TorchA2J(num_joints=21)

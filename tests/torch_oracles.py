@@ -388,6 +388,103 @@ class TorchFCOS(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# MANO LBS (dex-ycb-toolkit/manopth/manopth/manolayer.py:110-274)
+# ---------------------------------------------------------------------------
+
+def _rodrigues_t(aa: torch.Tensor) -> torch.Tensor:
+    """Axis-angle [N, 3] -> rotation matrices [N, 3, 3]."""
+    angle = torch.linalg.norm(aa, dim=1, keepdim=True).clamp_min(1e-8)
+    axis = aa / angle
+    x, y, z = axis.unbind(1)
+    zero = torch.zeros_like(x)
+    k = torch.stack([zero, -z, y, z, zero, -x, -y, x, zero],
+                    dim=1).reshape(-1, 3, 3)
+    a = angle.unsqueeze(-1)
+    eye = torch.eye(3).expand(len(aa), 3, 3)
+    return eye + torch.sin(a) * k + (1 - torch.cos(a)) * (k @ k)
+
+
+class TorchManoLayer:
+    """Sequential-per-finger torch replica of the reference ManoLayer forward
+    (manolayer.py:110-274): PCA pose -> rodrigues -> blendshapes -> 3-level
+    chains -> LBS -> tips + reorder -> mm. Takes the same asset arrays as
+    handnet_tpu.models.mano.ManoAssets, so parity runs on synthetic assets."""
+
+    REORDER = [0, 13, 14, 15, 16, 1, 2, 3, 17, 4, 5, 6, 18,
+               10, 11, 12, 19, 7, 8, 9, 20]
+    TIPS = {"right": [745, 317, 444, 556, 673],
+            "left": [745, 317, 445, 556, 673]}
+
+    def __init__(self, assets, ncomps=45, flat_hand_mean=False):
+        t = lambda x: torch.as_tensor(np.asarray(x), dtype=torch.float64)
+        self.shapedirs = t(assets.shapedirs)       # [V, 3, 10]
+        self.posedirs = t(assets.posedirs)         # [V, 3, 135]
+        self.v_template = t(assets.v_template)
+        self.J_regressor = t(assets.J_regressor)
+        self.weights = t(assets.weights)
+        self.comps = t(assets.hands_components[:ncomps])
+        self.mean = (torch.zeros(45, dtype=torch.float64) if flat_hand_mean
+                     else t(assets.hands_mean))
+        self.side = assets.side
+        self.n_verts = self.v_template.shape[0]
+
+    def __call__(self, pose_coeffs, betas, trans):
+        pose_coeffs = torch.as_tensor(pose_coeffs, dtype=torch.float64)
+        betas = torch.as_tensor(betas, dtype=torch.float64)
+        trans = torch.as_tensor(trans, dtype=torch.float64)
+        b = pose_coeffs.shape[0]
+        full_hand = pose_coeffs[:, 3:] @ self.comps + self.mean
+        full_pose = torch.cat([pose_coeffs[:, :3], full_hand], 1)
+        rots = _rodrigues_t(full_pose.reshape(-1, 3)).reshape(b, 16, 3, 3)
+        pose_map = (rots[:, 1:] - torch.eye(3, dtype=torch.float64)
+                    ).reshape(b, 135)
+
+        v_shaped = (torch.einsum("vcs,bs->bvc", self.shapedirs, betas)
+                    + self.v_template)
+        j_rest = torch.einsum("jv,bvc->bjc", self.J_regressor, v_shaped)
+        v_posed = v_shaped + torch.einsum("vcp,bp->bvc", self.posedirs,
+                                          pose_map)
+
+        def with_zeros(rt):  # [..., 3, 4] -> [..., 4, 4]
+            pad = torch.tensor([0.0, 0, 0, 1], dtype=torch.float64).expand(
+                rt.shape[:-2] + (1, 4))
+            return torch.cat([rt, pad], dim=-2)
+
+        # sequential chain walk, one finger at a time (manolayer.py:209-228)
+        chains = {1: [1, 2, 3], 4: [4, 5, 6], 7: [7, 8, 9],
+                  10: [10, 11, 12], 13: [13, 14, 15]}
+        results = [None] * 16
+        root = with_zeros(torch.cat([rots[:, 0], j_rest[:, 0:1].transpose(
+            1, 2)], 2))
+        results[0] = root
+        for chain in chains.values():
+            parent_tf, parent_j = root, j_rest[:, 0]
+            for idx in chain:
+                local = with_zeros(torch.cat(
+                    [rots[:, idx],
+                     (j_rest[:, idx] - parent_j).unsqueeze(-1)], 2))
+                results[idx] = parent_tf @ local
+                parent_tf, parent_j = results[idx], j_rest[:, idx]
+        tf = torch.stack(results, dim=1)                  # [B, 16, 4, 4]
+
+        j_h = torch.cat([j_rest, torch.zeros(b, 16, 1, dtype=torch.float64)],
+                        2)
+        tmp = (tf @ j_h.unsqueeze(-1))                    # [B, 16, 4, 1]
+        rel = tf - torch.cat([torch.zeros(b, 16, 4, 3, dtype=torch.float64),
+                              tmp], 3)
+        T = torch.einsum("bjik,vj->bvik", rel, self.weights)
+        v_h = torch.cat([v_posed, torch.ones(b, self.n_verts, 1,
+                                             dtype=torch.float64)], 2)
+        verts = torch.einsum("bvik,bvk->bvi", T, v_h)[..., :3]
+        joints = tf[:, :, :3, 3]
+        joints = torch.cat([joints, verts[:, self.TIPS[self.side]]], 1)
+        joints = joints[:, self.REORDER]
+        joints = joints + trans.unsqueeze(1)
+        verts = verts + trans.unsqueeze(1)
+        return (verts * 1000.0).numpy(), (joints * 1000.0).numpy()
+
+
+# ---------------------------------------------------------------------------
 # FlatPose2Mesh (pose2mesh/lib/models/*)
 # ---------------------------------------------------------------------------
 
