@@ -99,8 +99,12 @@ def main(argv=None):
     source = (SyntheticSource(args.frames) if args.source == "synthetic"
               else FolderSource(args.input))
 
-    cfg = HandNetConfig(fcos=FCOSConfig(num_classes=2, ext=False),
-                        a2j=A2JConfig(), pipeline=PipelineConfig())
+    # converted torch checkpoints need the reference anchor pairing
+    # (ops/anchors.py transposed mode; a2j/a2j.py:86-89 permute quirk)
+    cfg = HandNetConfig(
+        fcos=FCOSConfig(num_classes=2, ext=False),
+        a2j=A2JConfig(transposed_anchors=bool(args.a2j_checkpoint)),
+        pipeline=PipelineConfig())
     pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
     variables = pipe.init(jax.random.PRNGKey(0))
     if args.fcos_checkpoint:
