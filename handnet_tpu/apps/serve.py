@@ -1,0 +1,233 @@
+"""Multi-stream streaming server around the fused pipeline.
+
+The productionized equivalent of the reference's ROS node
+(ros_demo.py:170-246): that node subscribes to RGB+depth topics, runs the
+network per frame, and publishes joints. Here the transport is a host queue
+(pluggable into any RPC/ROS front end), and the serving core is TPU-shaped:
+
+* frames from any number of streams are MICROBATCHED into the jitted
+  fixed-batch pipeline graph (partial batches are padded; shapes stay
+  static so nothing recompiles),
+* TWO batches stay in flight — jax's async dispatch overlaps host-side
+  assembly of batch N+1 with device compute of batch N (the double-buffered
+  feed bench.py relies on, formalized),
+* results fan back out per (stream_id, frame_id) on an output queue.
+
+Run the built-in throughput check (synthetic frames, host-thread fed):
+
+    python -m handnet_tpu.apps.serve --frames 512 --batch 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue
+import threading
+import time
+from collections import deque
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+
+from handnet_tpu import runtime as _runtime
+_runtime.setup()
+import jax.numpy as jnp
+import numpy as np
+
+from handnet_tpu.config import HandNetConfig
+from handnet_tpu.models.pipeline import HandNetPipeline
+
+_STOP = object()
+
+
+class PipelineServer:
+    """Queue-in/queue-out serving wrapper over one jitted pipeline graph.
+
+    Args:
+      cfg: HandNetConfig (detector/a2j/pipeline operating point).
+      batch_size: the compiled batch; also the microbatch target.
+      variables: pipeline variables; fresh-initialized when None.
+      frame_hw: static (H, W) every submitted frame must match.
+      flush_timeout: seconds to wait for more frames before dispatching a
+        partial batch (latency/throughput knob).
+      out_fields: which pipeline outputs to return per frame.
+    """
+
+    def __init__(self, cfg: Optional[HandNetConfig] = None,
+                 batch_size: int = 32, variables=None,
+                 frame_hw: Tuple[int, int] = (480, 640),
+                 flush_timeout: float = 0.002,
+                 out_fields: Iterable[str] = ("joints_uvd", "boxes", "found",
+                                              "scores"),
+                 dtype: Any = jnp.bfloat16):
+        self.cfg = cfg or HandNetConfig()
+        self.batch_size = batch_size
+        self.frame_hw = frame_hw
+        self.flush_timeout = flush_timeout
+        self.out_fields = tuple(out_fields)
+        self.pipe = HandNetPipeline(self.cfg, dtype=dtype)
+        if variables is None:
+            variables = self.pipe.init(jax.random.PRNGKey(0))
+        self.variables = variables
+        self._fwd = jax.jit(lambda v, im, d: {
+            k: o for k, o in self.pipe(v, im, d).items()
+            if k in self.out_fields})
+        self.inputs: "queue.Queue" = queue.Queue(maxsize=4 * batch_size)
+        self.results: "queue.Queue" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._frames_done = 0
+        self._served_seconds = 0.0
+
+    # -- client side --------------------------------------------------------
+
+    def submit(self, stream_id, frame_id, rgb: np.ndarray,
+               depth: np.ndarray) -> None:
+        """rgb [H, W, 3] 0-1 float32; depth [H, W] meters."""
+        if rgb.shape[:2] != self.frame_hw:
+            raise ValueError(f"frame {rgb.shape[:2]} != static {self.frame_hw}")
+        self.inputs.put((stream_id, frame_id, rgb, depth))
+
+    def get(self, timeout: Optional[float] = None):
+        """Next finished frame: (stream_id, frame_id, {field: np.ndarray})."""
+        return self.results.get(timeout=timeout)
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> "PipelineServer":
+        self.compile()
+        self._thread = threading.Thread(target=self._serve_loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.inputs.put(_STOP)
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def compile(self) -> None:
+        h, w = self.frame_hw
+        im = jnp.zeros((self.batch_size, h, w, 3), jnp.float32)
+        d = jnp.zeros((self.batch_size, h, w), jnp.float32)
+        jax.block_until_ready(self._fwd(self.variables, im, d))
+
+    @property
+    def sustained_fps(self) -> float:
+        return (self._frames_done / self._served_seconds
+                if self._served_seconds else 0.0)
+
+    # -- server side ---------------------------------------------------------
+
+    def _collect_batch(self, block: bool):
+        """Gather up to batch_size frames (flush-timeout bounded) — the
+        microbatcher. ``block=False`` (work already in flight) returns None
+        immediately on an empty queue so inflight results can drain instead
+        of deadlocking on input starvation."""
+        try:
+            item = self.inputs.get(block=block)
+        except queue.Empty:
+            return None
+        if item is _STOP:
+            return _STOP
+        items = [item]
+        deadline = time.perf_counter() + self.flush_timeout
+        while len(items) < self.batch_size:
+            remain = deadline - time.perf_counter()
+            try:
+                nxt = self.inputs.get(timeout=max(remain, 0.0))
+            except queue.Empty:
+                break
+            if nxt is _STOP:
+                self.inputs.put(_STOP)   # re-post for the outer loop
+                break
+            items.append(nxt)
+        return items
+
+    def _dispatch(self, items):
+        h, w = self.frame_hw
+        n = len(items)
+        images = np.zeros((self.batch_size, h, w, 3), np.float32)
+        depths = np.zeros((self.batch_size, h, w), np.float32)
+        for i, (_, _, rgb, dep) in enumerate(items):
+            images[i] = rgb
+            depths[i] = dep
+        out = self._fwd(self.variables, jnp.asarray(images),
+                        jnp.asarray(depths))      # async dispatch
+        meta = [(sid, fid) for sid, fid, _, _ in items]
+        return out, meta, n
+
+    def _complete(self, inflight) -> None:
+        out, meta, n = inflight
+        host = {k: np.asarray(v) for k, v in out.items()}  # blocks
+        for i, (sid, fid) in enumerate(meta):
+            self.results.put((sid, fid, {k: v[i] for k, v in host.items()}))
+        self._frames_done += n
+
+    def _serve_loop(self) -> None:
+        inflight: deque = deque()
+        t0 = time.perf_counter()
+        while True:
+            # only block on input when nothing is in flight; otherwise an
+            # idle input queue must drain results, not starve them
+            items = self._collect_batch(block=not inflight)
+            if items is _STOP:
+                break
+            if items is None:           # input idle -> flush oldest batch
+                self._complete(inflight.popleft())
+                continue
+            inflight.append(self._dispatch(items))
+            if len(inflight) >= 2:      # double buffer: drain the older one
+                self._complete(inflight.popleft())
+        while inflight:
+            self._complete(inflight.popleft())
+        self._served_seconds = time.perf_counter() - t0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=512)
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--streams", type=int, default=4)
+    parser.add_argument("--profile", default="fast",
+                        help="configs/<profile>.yaml operating point")
+    args = parser.parse_args(argv)
+
+    import os
+
+    from handnet_tpu.config import load_config
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cfg = load_config(yaml_path=os.path.join(repo, "configs",
+                                             f"{args.profile}.yaml"))
+    server = PipelineServer(cfg, batch_size=args.batch).start()
+
+    rng = np.random.default_rng(0)
+    frames = [(rng.uniform(size=(480, 640, 3)).astype(np.float32),
+               rng.uniform(0.3, 1.0, size=(480, 640)).astype(np.float32))
+              for _ in range(8)]
+
+    def feeder(sid):
+        for fid in range(args.frames // args.streams):
+            rgb, dep = frames[(sid + fid) % len(frames)]
+            server.submit(sid, fid, rgb, dep)
+
+    threads = [threading.Thread(target=feeder, args=(s,))
+               for s in range(args.streams)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    got = 0
+    want = args.streams * (args.frames // args.streams)
+    while got < want:
+        server.get()
+        got += 1
+    dt = time.perf_counter() - t0
+    for t in threads:
+        t.join()
+    server.stop()
+    print(f"served {got} frames from {args.streams} host streams: "
+          f"{got / dt:.1f} fps sustained")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Streaming server tests: correctness of the fan-in/fan-out plumbing and
+sustained throughput vs a direct jitted loop on the same graph.
+
+Small shapes (CPU mesh) — the TPU-scale number comes from
+`python -m handnet_tpu.apps.serve` against bench.py (ROUND2_NOTES).
+"""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from handnet_tpu.apps.serve import PipelineServer
+from handnet_tpu.config import (A2JConfig, FCOSConfig, HandNetConfig,
+                                PipelineConfig)
+
+CFG = HandNetConfig(
+    a2j=A2JConfig(crop_h=48, crop_w=48),
+    fcos=FCOSConfig(image_h=64, image_w=96, max_detections=8, num_classes=2,
+                    ext=False),
+    pipeline=PipelineConfig(crop_size=48),
+)
+HW = (60, 80)
+
+
+@pytest.fixture(scope="module")
+def server():
+    s = PipelineServer(CFG, batch_size=4, frame_hw=HW,
+                       dtype=jnp.float32).start()
+    yield s
+    s.stop()
+
+
+def _frame(seed):
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(size=HW + (3,)).astype(np.float32),
+            rng.uniform(0.3, 1.0, size=HW).astype(np.float32))
+
+
+def test_all_frames_served_with_ids(server):
+    n_per_stream = 6
+    for sid in range(3):
+        for fid in range(n_per_stream):
+            rgb, dep = _frame(sid * 100 + fid)
+            server.submit(sid, fid, rgb, dep)
+    got = {}
+    for _ in range(3 * n_per_stream):
+        sid, fid, out = server.get(timeout=60)
+        got[(sid, fid)] = out
+    assert set(got) == {(s, f) for s in range(3) for f in range(n_per_stream)}
+    sample = got[(0, 0)]
+    assert sample["joints_uvd"].shape == (21, 3)
+    assert sample["boxes"].shape == (4,)
+    assert np.isfinite(sample["joints_uvd"]).all()
+
+
+def test_results_match_direct_forward(server):
+    """Server output for a frame == a direct jitted batch call with that
+    frame (padding must not leak into real slots)."""
+    rgb, dep = _frame(7)
+    direct = server._fwd(
+        server.variables,
+        jnp.asarray(np.broadcast_to(rgb, (4,) + rgb.shape).copy()),
+        jnp.asarray(np.broadcast_to(dep, (4,) + dep.shape).copy()))
+    server.submit("x", 0, rgb, dep)
+    _, _, out = server.get(timeout=60)
+    np.testing.assert_allclose(out["joints_uvd"],
+                               np.asarray(direct["joints_uvd"])[0],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_rejects_wrong_shape(server):
+    with pytest.raises(ValueError):
+        server.submit(0, 0, np.zeros((32, 32, 3), np.float32),
+                      np.zeros((32, 32), np.float32))
+
+
+def test_sustained_throughput_vs_direct_loop():
+    """Host-thread-fed server sustains a healthy fraction of the raw jitted
+    loop (the double-buffer must hide host assembly). Loose bound — CI CPUs
+    are noisy; the TPU-scale check is the serve CLI vs bench.py."""
+    server = PipelineServer(CFG, batch_size=8, frame_hw=HW,
+                            dtype=jnp.float32).start()
+    try:
+        n = 96
+        rgb, dep = _frame(1)
+
+        # raw jitted loop on identical shapes
+        im = jnp.asarray(np.broadcast_to(rgb, (8,) + rgb.shape).copy())
+        dd = jnp.asarray(np.broadcast_to(dep, (8,) + dep.shape).copy())
+        jax.block_until_ready(server._fwd(server.variables, im, dd))
+        t0 = time.perf_counter()
+        for _ in range(n // 8):
+            out = server._fwd(server.variables, im, dd)
+        jax.block_until_ready(out["joints_uvd"])
+        direct_fps = n / (time.perf_counter() - t0)
+
+        def feeder():
+            for fid in range(n):
+                server.submit(0, fid, rgb, dep)
+
+        t0 = time.perf_counter()
+        th = threading.Thread(target=feeder)
+        th.start()
+        for _ in range(n):
+            server.get(timeout=120)
+        served_fps = n / (time.perf_counter() - t0)
+        th.join()
+        assert served_fps > 0.5 * direct_fps, (served_fps, direct_fps)
+    finally:
+        server.stop()
