@@ -54,6 +54,11 @@ def main(argv=None):
     parser.add_argument("--voc-root", default=None,
                         help="train on 100DOH VOC (sets num_classes=3)")
     parser.add_argument("--voc-image-set", default="trainval")
+    parser.add_argument("--backbone-norm", default="batch",
+                        choices=["batch", "frozen", "group"],
+                        help="'frozen' only when starting from converted "
+                             "pretrained weights (the reference recipe); "
+                             "from-scratch training needs 'batch'")
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--no-bf16", dest="bf16", action="store_false")
     args = parser.parse_args(argv)
@@ -97,7 +102,8 @@ def main(argv=None):
     train_cfg = TrainConfig(batch_size=batch, lr=args.lr, bf16=args.bf16,
                             optimizer="sgd", warmup_epochs=1)
     trainer = FCOSTrainer(model_cfg, train_cfg, mesh=mesh,
-                          steps_per_epoch=steps_per_epoch)
+                          steps_per_epoch=steps_per_epoch,
+                          backbone_norm=args.backbone_norm)
     state = trainer.init_state(jax.random.PRNGKey(train_cfg.seed))
 
     ckpt = CheckpointManager(os.path.join(args.output, "checkpoints"))

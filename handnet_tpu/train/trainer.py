@@ -154,11 +154,18 @@ class FCOSTrainer:
                  train_cfg: Optional[TrainConfig] = None,
                  mesh: Optional[Mesh] = None,
                  steps_per_epoch: int = 1000,
-                 milestones_epochs=(20, 35)):
+                 milestones_epochs=(20, 35),
+                 backbone_norm: str = "frozen"):
+        """``backbone_norm``: "frozen" matches the reference recipe —
+        torchvision-PRETRAINED resnet with FrozenBatchNorm2d
+        (fcos.py:476 pretrained=True). Training from scratch (no converted
+        weights) must pass "batch": frozen norm with identity statistics is
+        no normalization at all, and box regression converges far worse
+        (observed on the synthetic task: held-out IoU ~0.26)."""
         self.model_cfg = model_cfg or FCOSConfig()
         self.train_cfg = train_cfg or TrainConfig()
         dtype = jnp.bfloat16 if self.train_cfg.bf16 else jnp.float32
-        self.system = FCOSSystem(self.model_cfg, backbone_norm="frozen",
+        self.system = FCOSSystem(self.model_cfg, backbone_norm=backbone_norm,
                                  dtype=dtype)
         self.mesh = mesh
         self.schedule = multistep_with_warmup(

@@ -47,7 +47,8 @@ def train_and_eval(ds, train_idx, test_idx, info, image_h, image_w, steps,
                       image_w=image_w, max_detections=8)
     trainer = FCOSTrainer(fcfg, TrainConfig(bf16=True, lr=5e-4,
                                             optimizer="adamw"),
-                          steps_per_epoch=100, milestones_epochs=(100,))
+                          steps_per_epoch=100, milestones_epochs=(100,),
+                           backbone_norm="batch")
     state = trainer.init_state(jax.random.PRNGKey(0))
     src = DetectDataSource(ds, train_idx, e2e=False)
     loader = PrefetchLoader(src, batch, shuffle=True, num_workers=4)

@@ -71,7 +71,8 @@ def main(argv=None):
                       image_w=args.image_w, max_detections=8)
     ftrainer = FCOSTrainer(fcfg, TrainConfig(bf16=True, lr=5e-4,
                                              optimizer="adamw"),
-                           steps_per_epoch=100, milestones_epochs=(100,))
+                           steps_per_epoch=100, milestones_epochs=(100,),
+                            backbone_norm="batch")
     fstate = ftrainer.init_state(jax.random.PRNGKey(0))
     det_src = DetectDataSource(ds, train_idx, e2e=False)  # hand only, label 1
     loader = PrefetchLoader(det_src, args.batch, shuffle=True, num_workers=4)
