@@ -59,19 +59,31 @@ class PipelineServer:
                  flush_timeout: float = 0.002,
                  out_fields: Iterable[str] = ("joints_uvd", "boxes", "found",
                                               "scores"),
-                 dtype: Any = jnp.bfloat16):
+                 dtype: Any = jnp.bfloat16,
+                 quantized_transfer: bool = True):
         self.cfg = cfg or HandNetConfig()
         self.batch_size = batch_size
         self.frame_hw = frame_hw
         self.flush_timeout = flush_timeout
         self.out_fields = tuple(out_fields)
+        # ship frames in sensor-native width (uint8 RGB, uint16 mm depth):
+        # 4x less host->device traffic than float32 — the bandwidth that
+        # bounds serving, not the MXU. Dequantization happens on device
+        # inside the jitted graph.
+        self.quantized_transfer = quantized_transfer
         self.pipe = HandNetPipeline(self.cfg, dtype=dtype)
         if variables is None:
             variables = self.pipe.init(jax.random.PRNGKey(0))
         self.variables = variables
-        self._fwd = jax.jit(lambda v, im, d: {
-            k: o for k, o in self.pipe(v, im, d).items()
-            if k in self.out_fields})
+
+        def fwd(v, im, d):
+            if self.quantized_transfer:
+                im = im.astype(jnp.float32) / 255.0
+                d = d.astype(jnp.float32) / 1000.0
+            out = self.pipe(v, im, d)
+            return {k: o for k, o in out.items() if k in self.out_fields}
+
+        self._fwd = jax.jit(fwd)
         self.inputs: "queue.Queue" = queue.Queue(maxsize=4 * batch_size)
         self.results: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
@@ -82,9 +94,21 @@ class PipelineServer:
 
     def submit(self, stream_id, frame_id, rgb: np.ndarray,
                depth: np.ndarray) -> None:
-        """rgb [H, W, 3] 0-1 float32; depth [H, W] meters."""
+        """rgb [H, W, 3]: float 0-1 or uint8. depth [H, W]: float meters or
+        uint16 millimeters (sensor-native formats pass through unconverted
+        when quantized_transfer is on)."""
         if rgb.shape[:2] != self.frame_hw:
             raise ValueError(f"frame {rgb.shape[:2]} != static {self.frame_hw}")
+        if self.quantized_transfer:
+            if rgb.dtype != np.uint8:
+                rgb = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
+            if depth.dtype != np.uint16:
+                depth = np.clip(depth * 1000.0, 0, 65535).astype(np.uint16)
+        else:
+            if rgb.dtype == np.uint8:
+                rgb = rgb.astype(np.float32) / 255.0
+            if depth.dtype == np.uint16:
+                depth = depth.astype(np.float32) / 1000.0
         self.inputs.put((stream_id, frame_id, rgb, depth))
 
     def get(self, timeout: Optional[float] = None):
@@ -105,10 +129,16 @@ class PipelineServer:
             self._thread.join()
             self._thread = None
 
+    @property
+    def _wire_dtypes(self):
+        return ((np.uint8, np.uint16) if self.quantized_transfer
+                else (np.float32, np.float32))
+
     def compile(self) -> None:
         h, w = self.frame_hw
-        im = jnp.zeros((self.batch_size, h, w, 3), jnp.float32)
-        d = jnp.zeros((self.batch_size, h, w), jnp.float32)
+        im_dt, d_dt = self._wire_dtypes
+        im = jnp.zeros((self.batch_size, h, w, 3), im_dt)
+        d = jnp.zeros((self.batch_size, h, w), d_dt)
         jax.block_until_ready(self._fwd(self.variables, im, d))
 
     @property
@@ -146,8 +176,9 @@ class PipelineServer:
     def _dispatch(self, items):
         h, w = self.frame_hw
         n = len(items)
-        images = np.zeros((self.batch_size, h, w, 3), np.float32)
-        depths = np.zeros((self.batch_size, h, w), np.float32)
+        im_dt, d_dt = self._wire_dtypes
+        images = np.zeros((self.batch_size, h, w, 3), im_dt)
+        depths = np.zeros((self.batch_size, h, w), d_dt)
         for i, (_, _, rgb, dep) in enumerate(items):
             images[i] = rgb
             depths[i] = dep

@@ -59,17 +59,36 @@ def test_all_frames_served_with_ids(server):
 
 def test_results_match_direct_forward(server):
     """Server output for a frame == a direct jitted batch call with that
-    frame (padding must not leak into real slots)."""
+    frame (padding must not leak into real slots). The server quantizes to
+    the uint8/uint16 wire format, so the direct call uses the same."""
     rgb, dep = _frame(7)
+    rgb_q = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
+    dep_q = np.clip(dep * 1000.0, 0, 65535).astype(np.uint16)
     direct = server._fwd(
         server.variables,
-        jnp.asarray(np.broadcast_to(rgb, (4,) + rgb.shape).copy()),
-        jnp.asarray(np.broadcast_to(dep, (4,) + dep.shape).copy()))
+        jnp.asarray(np.broadcast_to(rgb_q, (4,) + rgb.shape).copy()),
+        jnp.asarray(np.broadcast_to(dep_q, (4,) + dep.shape).copy()))
     server.submit("x", 0, rgb, dep)
     _, _, out = server.get(timeout=60)
     np.testing.assert_allclose(out["joints_uvd"],
                                np.asarray(direct["joints_uvd"])[0],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_wire_quantization_accepts_sensor_native_frames(server):
+    """uint8 RGB + uint16-mm depth pass straight through (no host convert)
+    and produce results equal to the float path's quantized output."""
+    rgb, dep = _frame(11)
+    rgb_q = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
+    dep_q = np.clip(dep * 1000.0, 0, 65535).astype(np.uint16)
+    server.submit("f", 0, rgb, dep)
+    server.submit("q", 0, rgb_q, dep_q)
+    got = {}
+    for _ in range(2):
+        sid, _, out = server.get(timeout=60)
+        got[sid] = out
+    np.testing.assert_allclose(got["f"]["joints_uvd"], got["q"]["joints_uvd"],
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_rejects_wrong_shape(server):
