@@ -85,7 +85,7 @@ def main(argv=None):
             ds = DexYCBDataset("s0", "train", data_dir=args.data_dir)
         idx = refine_indices(ds, cache_path=os.path.join(
             args.output, "cache", "refined_train_idx.pkl"))
-        src = DetectDataSource(ds, idx, e2e=True)
+        src = DetectDataSource(ds, idx, e2e=True, uint8_images=True)
     print(f"train samples: {len(src)}")
 
     mesh = create_mesh()

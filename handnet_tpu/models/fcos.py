@@ -189,13 +189,17 @@ class FCOS(nn.Module):
 
 
 def preprocess(images: jnp.ndarray, cfg: FCOSConfig) -> Tuple[jnp.ndarray, Tuple[float, float]]:
-    """Resize 0-1 RGB ``[B, H, W, 3]`` to the static input size and normalize.
+    """Resize RGB ``[B, H, W, 3]`` (0-1 float, or uint8 — dequantized here so
+    frames can cross host->device at sensor width) to the static input size
+    and normalize.
 
     Returns the network input and the (scale_y, scale_x) mapping from original
     pixels to network pixels (used to rescale boxes back, fcos.py:770-783).
     The aspect-preserving resize targets the full ``image_h`` and pads width to
     ``image_w`` (bottom/right zero padding, like torchvision's batch padding).
     """
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
     b, h, w, _ = images.shape
     scale = min(cfg.image_h / h, cfg.image_w / w)
     new_h, new_w = int(round(h * scale)), int(round(w * scale))

@@ -174,3 +174,26 @@ def test_factory(synth):
     d2 = get_dataset("s0_train", data_dir=root)
     assert len(d2) == 6
     assert get_dataset("s0_train", data_dir=root) is d2  # cached
+
+
+def test_detect_source_uint8_images_equivalent(tmp_path):
+    """uint8 wire format + on-device dequantize == the float path."""
+    import jax.numpy as jnp
+
+    from handnet_tpu.config import FCOSConfig
+    from handnet_tpu.data.synthetic import make_synthetic_dexycb
+    from handnet_tpu.data.dexycb import DexYCBDataset
+    from handnet_tpu.data.detect_data import DetectDataSource
+    from handnet_tpu.models.fcos import preprocess
+
+    root = str(tmp_path / "synth")
+    make_synthetic_dexycb(root, n_sequences=1, n_frames=2)
+    ds = DexYCBDataset("s0", "train", data_dir=root)
+    f32 = DetectDataSource(ds, [0], e2e=False)[0]
+    u8 = DetectDataSource(ds, [0], e2e=False, uint8_images=True)[0]
+    assert u8["image"].dtype == np.uint8
+    cfg = FCOSConfig(image_h=64, image_w=96)
+    a, _ = preprocess(jnp.asarray(f32["image"][None]), cfg)
+    b, _ = preprocess(jnp.asarray(u8["image"][None]), cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)

@@ -50,7 +50,7 @@ def train_and_eval(ds, train_idx, test_idx, info, image_h, image_w, steps,
                           steps_per_epoch=100, milestones_epochs=(100,),
                            backbone_norm="batch")
     state = trainer.init_state(jax.random.PRNGKey(0))
-    src = DetectDataSource(ds, train_idx, e2e=False)
+    src = DetectDataSource(ds, train_idx, e2e=False, uint8_images=True)
     loader = PrefetchLoader(src, batch, shuffle=True, num_workers=4)
     prep = jax.jit(lambda im: preprocess(im, fcfg)[0])
     scale = min(image_h / 480, image_w / 640)

@@ -74,7 +74,8 @@ def main(argv=None):
                            steps_per_epoch=100, milestones_epochs=(100,),
                             backbone_norm="batch")
     fstate = ftrainer.init_state(jax.random.PRNGKey(0))
-    det_src = DetectDataSource(ds, train_idx, e2e=False)  # hand only, label 1
+    det_src = DetectDataSource(ds, train_idx, e2e=False,
+                               uint8_images=True)  # hand only, label 1
     loader = PrefetchLoader(det_src, args.batch, shuffle=True, num_workers=4)
     prep = jax.jit(lambda im: preprocess(im, fcfg)[0])
     scale = min(args.image_h / 480, args.image_w / 640)
