@@ -167,6 +167,7 @@ class FCOSTrainer:
         dtype = jnp.bfloat16 if self.train_cfg.bf16 else jnp.float32
         self.system = FCOSSystem(self.model_cfg, backbone_norm=backbone_norm,
                                  dtype=dtype)
+        self._norm_trains = backbone_norm in ("batch", "batch_sync")
         self.mesh = mesh
         self.schedule = multistep_with_warmup(
             self.train_cfg.lr, steps_per_epoch, milestones_epochs,
@@ -192,20 +193,31 @@ class FCOSTrainer:
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        head = self.system.module.apply(variables, batch["image"], train=False)
+        # train-mode forward ONLY for trainable norms: frozen norm has no
+        # batch statistics to take, and the reference fine-tune recipe runs
+        # the backbone in eval stats (torchvision FrozenBatchNorm2d)
+        if self._norm_trains:
+            head, updates = self.system.module.apply(
+                variables, batch["image"], train=True,
+                mutable=["batch_stats"])
+            new_bs = updates["batch_stats"]
+        else:
+            head = self.system.module.apply(variables, batch["image"],
+                                            train=False)
+            new_bs = batch_stats
         losses = fcos_loss(head, batch["targets"], self.system.anchors,
                            self.system.anchor_sizes, self.system.level_slices,
                            self.model_cfg)
         total = sum(losses.values())
         losses["total_loss"] = total
-        return total, losses
+        return total, (new_bs, losses)
 
     def _build_train_step(self) -> Callable:
         def step(state: TrainState, batch):
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
-            (_, metrics), grads = grad_fn(state.params, state.batch_stats,
-                                          batch)
-            return state.apply_gradients(grads), metrics
+            (_, (new_bs, metrics)), grads = grad_fn(
+                state.params, state.batch_stats, batch)
+            return state.apply_gradients(grads, new_bs), metrics
 
         if self.mesh is None:
             return jax.jit(step)
