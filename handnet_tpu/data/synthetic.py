@@ -73,7 +73,15 @@ def make_synthetic_dexycb(root: str, n_sequences: int = 2,
             depth_mm[seg == 255] = int(z * 1000)
             depth_mm[seg == 1] = 1500
 
-            color = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+            # low-frequency background (upsampled coarse noise): structured
+            # like real scenes. Per-pixel iid noise made the detector
+            # memorize backgrounds instead of generalizing — every frame was
+            # unique high-frequency content with no shared statistics.
+            coarse = rng.integers(40, 215, size=(h // 40, w // 40, 3))
+            color = cv2.resize(coarse.astype(np.uint8), (w, h),
+                               interpolation=cv2.INTER_LINEAR)
+            color = np.clip(color.astype(np.int16) + rng.integers(
+                -12, 13, size=(h, w, 3)), 0, 255).astype(np.uint8)
             color[seg == 255] = (200, 170, 150)
 
             # 21 joints uniformly inside the hand square, consistent 3D.
