@@ -89,7 +89,12 @@ def train_and_eval(ds, train_idx, test_idx, info, image_h, image_w, steps,
     annos, dets, ious, found = {}, [], [], 0
     for i in test_idx:
         s, c, f = ds._mapping[i]
-        gt = info[(int(s), int(f))]
+        # ds applies the s0-train sequence filter (every 5th sequence is
+        # held out of the SPLIT, dexycb.py:62), so the mapping's sequence
+        # index is into the FILTERED list — recover the generated sequence
+        # number from the directory name for the info lookup
+        gen_s = int(os.path.basename(ds._sequences[int(s)]).split("_")[0][-2:])
+        gt = info[(gen_s, int(f))]
         sample = ds[i]
         color = cv2.imread(sample["color_file"])[:, :, ::-1]
         out = detect(variables,

@@ -194,7 +194,12 @@ def main(argv=None):
     mpjpes = []
     for i in test_idx:
         s, c, f = ds._mapping[i]
-        gt = info[(int(s), int(f))]
+        # ds applies the s0-train sequence filter (every 5th sequence is
+        # held out of the SPLIT, dexycb.py:62), so the mapping's sequence
+        # index is into the FILTERED list — recover the generated sequence
+        # number from the directory name for the info lookup
+        gen_s = int(os.path.basename(ds._sequences[int(s)]).split("_")[0][-2:])
+        gt = info[(gen_s, int(f))]
         sample = ds[i]
         color = cv2.imread(sample["color_file"])[:, :, ::-1]
         depth = cv2.imread(sample["depth_file"],
@@ -206,6 +211,11 @@ def main(argv=None):
         if bool(np.asarray(out["found"])[0]):
             found_count += 1
             box = np.asarray(out["boxes"])[0]
+            if found_count <= 8:
+                print(f"  frame {i}: crop_box {np.round(box, 1)} "
+                      f"planted {np.round(gt['hand_box'], 1)} "
+                      f"score {float(np.asarray(out['scores'])[0]):.2f}",
+                      flush=True)
             # the pipeline returns the 40%-padded crop box — pad the planted
             # box identically for an apples-to-apples IoU
             gx1, gy1, gx2, gy2 = gt["hand_box"]
