@@ -75,7 +75,8 @@ class A2JTrainer:
         self.model_cfg = model_cfg or A2JConfig()
         self.train_cfg = train_cfg or TrainConfig()
         dtype = jnp.bfloat16 if self.train_cfg.bf16 else jnp.float32
-        norm = "batch_sync" if mesh is not None else "batch"
+        # plain BatchNorm is correct under pjit DP too: the batch mean/var
+        # reductions become global-batch collectives automatically
         self.system = A2JSystem(self.model_cfg, norm="batch", dtype=dtype)
         self.mesh = mesh
         self.schedule = step_decay(self.train_cfg.lr, steps_per_epoch,

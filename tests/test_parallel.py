@@ -104,3 +104,50 @@ def test_dryrun_multichip_self_provisions_like_driver():
                           capture_output=True, text=True, timeout=560)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "dryrun_multichip(8): ok" in proc.stdout
+
+
+def test_fcos_batch_norm_stats_update():
+    """backbone_norm='batch' must run a train-mode forward and thread the
+    batch-stat updates into TrainState (regression: eval-mode forward left
+    batch norm as identity forever)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from handnet_tpu.config import FCOSConfig, TrainConfig
+    from handnet_tpu.train.trainer import FCOSTrainer
+
+    cfg = FCOSConfig(num_classes=2, ext=False, image_h=64, image_w=96,
+                     max_detections=4)
+    trainer = FCOSTrainer(cfg, TrainConfig(bf16=False, lr=1e-3),
+                          steps_per_epoch=10, backbone_norm="batch")
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = {
+        "image": jnp.asarray(np.random.default_rng(0).uniform(
+            size=(2, 64, 96, 3)).astype(np.float32)),
+        "targets": {
+            "boxes": jnp.asarray([[[10.0, 10, 40, 40]]] * 2),
+            "labels": jnp.ones((2, 1), jnp.int32),
+            "valid": jnp.ones((2, 1), bool),
+            "box_info": jnp.zeros((2, 1, 5)),
+        },
+    }
+    means_before = jax.tree_util.tree_leaves(
+        {k: v for k, v in state.batch_stats.items()})
+    new_state, _ = trainer.train_step(state, batch)
+    moved = sum(
+        float(np.abs(np.asarray(a) - np.asarray(b)).sum()) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                        jax.tree_util.tree_leaves(new_state.batch_stats)))
+    assert moved > 0
+
+    # frozen stays frozen
+    ftr = FCOSTrainer(cfg, TrainConfig(bf16=False, lr=1e-3),
+                      steps_per_epoch=10, backbone_norm="frozen")
+    fstate = ftr.init_state(jax.random.PRNGKey(0))
+    nstate, _ = ftr.train_step(fstate, batch)
+    same = all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(fstate.batch_stats),
+                        jax.tree_util.tree_leaves(nstate.batch_stats)))
+    assert same
