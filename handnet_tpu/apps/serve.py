@@ -174,6 +174,10 @@ class PipelineServer:
         return items
 
     def _dispatch(self, items):
+        import os as _os
+        if _os.environ.get("SERVE_DEBUG"):
+            print(f"dispatch n={len(items)} qsize={self.inputs.qsize()}",
+                  flush=True)
         h, w = self.frame_hw
         n = len(items)
         im_dt, d_dt = self._wire_dtypes
@@ -233,8 +237,9 @@ def main(argv=None):
     server = PipelineServer(cfg, batch_size=args.batch).start()
 
     rng = np.random.default_rng(0)
-    frames = [(rng.uniform(size=(480, 640, 3)).astype(np.float32),
-               rng.uniform(0.3, 1.0, size=(480, 640)).astype(np.float32))
+    # sensor-native frames: no per-frame float->uint8 conversion on submit
+    frames = [(rng.integers(0, 256, size=(480, 640, 3), dtype=np.uint8),
+               rng.integers(300, 1000, size=(480, 640), dtype=np.uint16))
               for _ in range(8)]
 
     def feeder(sid):
