@@ -203,10 +203,17 @@ def preprocess(images: jnp.ndarray, cfg: FCOSConfig) -> Tuple[jnp.ndarray, Tuple
     b, h, w, _ = images.shape
     scale = min(cfg.image_h / h, cfg.image_w / w)
     new_h, new_w = int(round(h * scale)), int(round(w * scale))
-    resized = jax.image.resize(images, (b, new_h, new_w, 3), method="bilinear")
     mean = jnp.asarray(cfg.image_mean, images.dtype)
     std = jnp.asarray(cfg.image_std, images.dtype)
-    resized = (resized - mean) / std
+    if (new_h, new_w) == (h, w):
+        # native operating point: no resample at all
+        resized = (images - mean) / std
+    else:
+        resized = jax.image.resize(images, (b, new_h, new_w, 3),
+                                   method="bilinear")
+        resized = (resized - mean) / std
+    if (new_h, new_w) == (cfg.image_h, cfg.image_w):
+        return resized, (new_h / h, new_w / w)
     padded = jnp.zeros((b, cfg.image_h, cfg.image_w, 3), images.dtype)
     padded = jax.lax.dynamic_update_slice(padded, resized, (0, 0, 0, 0))
     return padded, (new_h / h, new_w / w)
