@@ -6,9 +6,9 @@ real TPU chip under the driver). Baseline target: >=1000 fps/chip
 (BASELINE.md; the reference publishes no numbers of its own).
 
 Operating points live in configs/ and are selected with PROFILE:
-  PROFILE=fast   (default) detector at 512x640 — DexYCB frames are natively
-                 480x640; the reference's min-800 upscale adds FLOPs, not
-                 information. batch 128, bf16.
+  PROFILE=fast   (default) detector at TRUE native 480x640 (no resample;
+                 the reference's min-800 upscale adds FLOPs, not
+                 information). batch 128, bf16.
   PROFILE=parity detector at 800x1088, replicating the reference's
                  GeneralizedRCNNTransform min-800 resize. batch 16.
 Both run the detector with num_classes=3, ext=False, matching the reference

@@ -12,7 +12,7 @@ CONFIGS = os.path.join(os.path.dirname(os.path.dirname(
 
 def test_fast_profile_loads():
     cfg = load_config(yaml_path=os.path.join(CONFIGS, "fast.yaml"))
-    assert (cfg.fcos.image_h, cfg.fcos.image_w) == (512, 640)
+    assert (cfg.fcos.image_h, cfg.fcos.image_w) == (480, 640)
     # detector class count matches the reference pipeline's
     # load_pretrained_fcos(num_classes=3) — hand is class 2
     assert cfg.fcos.num_classes == 3 and not cfg.fcos.ext
