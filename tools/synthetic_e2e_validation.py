@@ -46,10 +46,10 @@ from handnet_tpu.train.trainer import A2JTrainer, FCOSTrainer
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--sequences", type=int, default=12)
+    parser.add_argument("--sequences", type=int, default=24)
     parser.add_argument("--frames", type=int, default=6)
-    parser.add_argument("--fcos-steps", type=int, default=300)
-    parser.add_argument("--a2j-steps", type=int, default=300)
+    parser.add_argument("--fcos-steps", type=int, default=900)
+    parser.add_argument("--a2j-steps", type=int, default=3000)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--image-h", type=int, default=256)
     parser.add_argument("--image-w", type=int, default=352)
