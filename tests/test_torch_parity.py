@@ -133,6 +133,47 @@ def test_fcos_parity_vs_torch_replica():
             rtol=1e-3, atol=2e-4, err_msg=key)
 
 
+def test_pipeline_accepts_converted_weights():
+    """The end-user path: converted torch checkpoints slot into
+    HandNetPipeline (handnet_pipeline.py:14-36 load_pretrained_* equiv)
+    with the right config flags, and the fused graph runs them."""
+    from torch_oracles import TorchFCOS
+
+    from handnet_tpu.config import (FCOSConfig, HandNetConfig,
+                                    PipelineConfig)
+    from handnet_tpu.convert.torch_weights import convert_fcos
+    from handnet_tpu.models.pipeline import HandNetPipeline
+
+    tfcos = TorchFCOS(num_classes=3, ext=False)
+    randomize_(tfcos, seed=5, scale=0.05)
+
+    cfg = HandNetConfig(
+        a2j=A2JConfig(crop_h=48, crop_w=48, transposed_anchors=True),
+        fcos=FCOSConfig(num_classes=3, ext=False, image_h=64, image_w=96,
+                        max_detections=8),
+        pipeline=PipelineConfig(crop_size=48))
+    pipe = HandNetPipeline(cfg, dtype=jnp.float32)
+    variables = pipe.init(jax.random.PRNGKey(0))
+
+    converted = jax.tree_util.tree_map(
+        jnp.asarray, convert_fcos(state_dict_numpy(tfcos)))
+    _assert_same_tree(converted["params"], variables["detector"]["params"])
+    _assert_same_tree(converted["batch_stats"],
+                      variables["detector"]["batch_stats"])
+    variables["detector"] = converted
+    # (a2j conversion is covered by test_a2j_parity_vs_torch_replica; the
+    # full-size backbone is too slow to run twice on the CI CPU)
+
+    rng = np.random.default_rng(0)
+    out = pipe(variables,
+               jnp.asarray(rng.uniform(size=(2, 60, 80, 3))
+                           .astype(np.float32)),
+               jnp.asarray(rng.uniform(0.3, 1.0, size=(2, 60, 80))
+                           .astype(np.float32)))
+    assert out["joints_uvd"].shape == (2, 21, 3)
+    assert np.isfinite(np.asarray(out["joints_uvd"])).all()
+
+
 def test_mano_parity_vs_torch_replica():
     """Batched-einsum jax ManoLayer vs a sequential per-finger torch walk of
     the reference chain (manolayer.py:110-274), on synthetic assets."""
