@@ -70,7 +70,7 @@ def main(argv=None):
 
     from handnet_tpu.apps.demo import build_mesh_head
 
-    mesh_head = build_mesh_head()
+    mesh_head, _mesh_faces = build_mesh_head()
 
     results = {}
     for i in range(len(src)):

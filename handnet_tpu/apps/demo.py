@@ -78,6 +78,8 @@ def main(argv=None):
     parser.add_argument("--frames", type=int, default=32)
     parser.add_argument("--fcos-checkpoint", default=None)
     parser.add_argument("--a2j-checkpoint", default=None)
+    parser.add_argument("--num-classes", type=int, default=3,
+                        help="detector classes (ros_demo.py:374 default)")
     parser.add_argument("--mesh", action="store_true",
                         help="lift joints to a MANO mesh (needs pose2mesh "
                              "weights; runs with random weights otherwise)")
@@ -100,9 +102,10 @@ def main(argv=None):
               else FolderSource(args.input))
 
     # converted torch checkpoints need the reference anchor pairing
-    # (ops/anchors.py transposed mode; a2j/a2j.py:86-89 permute quirk)
+    # (ops/anchors.py transposed mode; a2j/a2j.py:86-89 permute quirk);
+    # num_classes defaults to 3 like ros_demo.py:374 (hand = last class)
     cfg = HandNetConfig(
-        fcos=FCOSConfig(num_classes=2, ext=False),
+        fcos=FCOSConfig(num_classes=args.num_classes, ext=False),
         a2j=A2JConfig(transposed_anchors=bool(args.a2j_checkpoint)),
         pipeline=PipelineConfig())
     pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)

@@ -87,6 +87,7 @@ class PipelineServer:
         self.inputs: "queue.Queue" = queue.Queue(maxsize=4 * batch_size)
         self.results: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
         self._frames_done = 0
         self._served_seconds = 0.0
 
@@ -97,8 +98,10 @@ class PipelineServer:
         """rgb [H, W, 3]: float 0-1 or uint8. depth [H, W]: float meters or
         uint16 millimeters (sensor-native formats pass through unconverted
         when quantized_transfer is on)."""
-        if rgb.shape[:2] != self.frame_hw:
-            raise ValueError(f"frame {rgb.shape[:2]} != static {self.frame_hw}")
+        if rgb.shape[:2] != self.frame_hw or depth.shape[:2] != self.frame_hw:
+            raise ValueError(
+                f"frame rgb {rgb.shape[:2]} / depth {depth.shape[:2]} != "
+                f"static {self.frame_hw}")
         if self.quantized_transfer:
             if rgb.dtype != np.uint8:
                 rgb = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
@@ -119,12 +122,16 @@ class PipelineServer:
 
     def start(self) -> "PipelineServer":
         self.compile()
+        self._stop.clear()
         self._thread = threading.Thread(target=self._serve_loop, daemon=True)
         self._thread.start()
         return self
 
     def stop(self) -> None:
-        self.inputs.put(_STOP)
+        """Graceful stop: already-queued frames are still served. An Event,
+        not a queue sentinel — a sentinel put() can deadlock against
+        producers on the bounded input queue."""
+        self._stop.set()
         if self._thread is not None:
             self._thread.join()
             self._thread = None
@@ -152,25 +159,23 @@ class PipelineServer:
         """Gather up to batch_size frames (flush-timeout bounded) — the
         microbatcher. ``block=False`` (work already in flight) returns None
         immediately on an empty queue so inflight results can drain instead
-        of deadlocking on input starvation."""
+        of deadlocking on input starvation. Returns _STOP once the stop
+        event is set AND the queue is drained."""
         try:
-            item = self.inputs.get(block=block)
+            item = (self.inputs.get(timeout=0.05) if block
+                    else self.inputs.get(block=False))
         except queue.Empty:
+            if self._stop.is_set() and self.inputs.empty():
+                return _STOP
             return None
-        if item is _STOP:
-            return _STOP
         items = [item]
         deadline = time.perf_counter() + self.flush_timeout
         while len(items) < self.batch_size:
             remain = deadline - time.perf_counter()
             try:
-                nxt = self.inputs.get(timeout=max(remain, 0.0))
+                items.append(self.inputs.get(timeout=max(remain, 0.0)))
             except queue.Empty:
                 break
-            if nxt is _STOP:
-                self.inputs.put(_STOP)   # re-post for the outer loop
-                break
-            items.append(nxt)
         return items
 
     def _dispatch(self, items):
@@ -208,7 +213,8 @@ class PipelineServer:
             if items is _STOP:
                 break
             if items is None:           # input idle -> flush oldest batch
-                self._complete(inflight.popleft())
+                if inflight:
+                    self._complete(inflight.popleft())
                 continue
             inflight.append(self._dispatch(items))
             if len(inflight) >= 2:      # double buffer: drain the older one

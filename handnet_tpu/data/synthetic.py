@@ -24,6 +24,17 @@ def _write_yaml(path: str, obj) -> None:
         yaml.safe_dump(obj, f)
 
 
+def synthetic_sequence_number(sequence_dir: str) -> int:
+    """Generation index of a synthetic sequence from its directory name
+    (``2020000{s:02d}_000000``) — needed because DexYCBDataset's split
+    tables FILTER sequences, so dataset sequence indices differ from
+    generation indices."""
+    import os as _os
+
+    name = _os.path.basename(sequence_dir).split("_")[0]
+    return int(name[7:])
+
+
 def make_synthetic_dexycb(root: str, n_sequences: int = 2,
                           n_frames: int = 3, seed: int = 0,
                           h: int = 480, w: int = 640) -> Dict:

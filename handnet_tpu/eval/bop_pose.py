@@ -182,10 +182,14 @@ def auc_add(errors: Sequence[float], max_threshold: float = 100.0,
 class BOPEvaluator:
     """Average recall over error thresholds, BOP19-style (VSD/MSSD/MSPD).
 
-    models: object_id -> [N, 3] model points (mm).
+    models: object_id -> [N, 3] model points (mm); may be subsampled — used
+        for the point-cloud metrics (ADD/MSSD/MSPD).
     diameters: object_id -> model diameter (mm) for relative thresholds.
     faces: object_id -> [F, 3] triangle indices — enables the render-based
-        VSD term (reference bop_eval.py:74-80 error config).
+        VSD term (reference bop_eval.py:74-80 error config). Faces index
+        into ``mesh_verts`` when given, else into ``models`` (which must
+        then be the FULL mesh vertex array, not a subsample).
+    mesh_verts: object_id -> [V, 3] full mesh vertices for VSD rendering.
     symmetries: object_id -> list of (R, t) symmetry transforms.
 
     Aggregation matches dex_ycb_toolkit/bop_eval.py:140-213: AR_vsd averages
@@ -196,11 +200,20 @@ class BOPEvaluator:
     def __init__(self, models: Dict[int, np.ndarray],
                  diameters: Dict[int, float],
                  faces: Dict[int, np.ndarray] | None = None,
-                 symmetries: Dict[int, list] | None = None):
+                 symmetries: Dict[int, list] | None = None,
+                 mesh_verts: Dict[int, np.ndarray] | None = None):
         self.models = models
         self.diameters = diameters
         self.faces = faces or {}
         self.symmetries = symmetries or {}
+        self.mesh_verts = mesh_verts or {}
+        for obj_id, f in self.faces.items():
+            verts = self.mesh_verts.get(obj_id, self.models.get(obj_id))
+            if verts is not None and int(np.max(f)) >= len(verts):
+                raise ValueError(
+                    f"obj {obj_id}: faces index up to {int(np.max(f))} but "
+                    f"only {len(verts)} vertices available — pass the full "
+                    f"mesh via mesh_verts (models may be subsampled)")
 
     def evaluate(self, estimates: List[Dict], ground_truth: List[Dict],
                  depth_images: Dict | None = None,
@@ -238,8 +251,9 @@ class BOPEvaluator:
             if (depth_images is not None and K is not None
                     and est["obj_id"] in self.faces
                     and est["image_id"] in depth_images):
+                verts = self.mesh_verts.get(est["obj_id"], pts)
                 errs = vsd(est["R"], est["t"], gt["R"], gt["t"],
-                           depth_images[est["image_id"]], K, pts,
+                           depth_images[est["image_id"]], K, verts,
                            self.faces[est["obj_id"]], diam, delta=vsd_delta,
                            taus=taus)
                 vsd_recalls.append(

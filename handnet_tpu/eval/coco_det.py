@@ -50,25 +50,41 @@ def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def _oks_matrix(dt_kpts: Sequence[np.ndarray], gt_kpts: Sequence[np.ndarray],
                 gt_areas: Sequence[float],
+                gt_boxes: Optional[Sequence[np.ndarray]] = None,
                 sigmas: np.ndarray = KPT_OKS_SIGMAS) -> np.ndarray:
     """Object keypoint similarity, pycocotools computeOks semantics.
 
     dt_kpts: list of ``[J, 2+]`` predicted (x, y, ...) arrays.
-    gt_kpts: list of ``[J, 3]`` (x, y, vis) arrays; joints with vis==0 are
-    excluded. gt_areas: GT object areas (the OKS scale term).
+    gt_kpts: list of ``[J, 3]`` (x, y, vis) arrays. When a GT has no visible
+    joints, pycocotools falls back to distances outside the 2x-expanded GT
+    box (cocoeval computeOks k1==0 branch) — used here for matching against
+    IGNORED GTs; pass ``gt_boxes`` (xyxy) to enable it.
+    gt_areas: GT object areas (the OKS scale term).
     """
     variances = (2.0 * np.asarray(sigmas)) ** 2                   # [J]
     out = np.zeros((len(dt_kpts), len(gt_kpts)))
     for g, (gk, area) in enumerate(zip(gt_kpts, gt_areas)):
         gk = np.asarray(gk, np.float64)
         vis = gk[:, 2] > 0
-        if not vis.any():
-            continue
         for d, dk in enumerate(dt_kpts):
             dk = np.asarray(dk, np.float64)
-            d2 = ((dk[:, 0] - gk[:, 0]) ** 2 + (dk[:, 1] - gk[:, 1]) ** 2)
-            e = d2 / variances / (max(area, 1e-9) + np.spacing(1)) / 2.0
-            out[d, g] = float(np.mean(np.exp(-e[vis])))
+            if vis.any():
+                d2 = ((dk[:, 0] - gk[:, 0]) ** 2
+                      + (dk[:, 1] - gk[:, 1]) ** 2)
+                e = d2 / variances / (max(area, 1e-9) + np.spacing(1)) / 2.0
+                out[d, g] = float(np.mean(np.exp(-e[vis])))
+            elif gt_boxes is not None:
+                bx = np.asarray(gt_boxes[g], np.float64)
+                w, h = bx[2] - bx[0], bx[3] - bx[1]
+                x0, x1 = bx[0] - w, bx[0] + 2 * w
+                y0, y1 = bx[1] - h, bx[1] + 2 * h
+                dx = (np.maximum(0.0, x0 - dk[:, 0])
+                      + np.maximum(0.0, dk[:, 0] - x1))
+                dy = (np.maximum(0.0, y0 - dk[:, 1])
+                      + np.maximum(0.0, dk[:, 1] - y1))
+                e = ((dx ** 2 + dy ** 2) / variances
+                     / (max(area, 1e-9) + np.spacing(1)) / 2.0)
+                out[d, g] = float(np.mean(np.exp(-e)))
     return out
 
 
@@ -127,7 +143,8 @@ class CocoDetEvaluator:
             if iou_type == "keypoints":
                 return _oks_matrix([dt_keypoints[id(d)] for d in dets],
                                    [gt_keypoints[id(o)] for o in gt],
-                                   [_gt_area(o) for o in gt])
+                                   [_gt_area(o) for o in gt],
+                                   gt_boxes=[o.bbox for o in gt])
             return _iou_xyxy(np.stack([d.bbox for d in dets]),
                              np.stack([o.bbox for o in gt]))
 
@@ -142,17 +159,25 @@ class CocoDetEvaluator:
             n_gt = 0
             for image_id, objs in self.annotations.items():
                 gt = [o for o in objs if o.name == cat]
+                gt_ignored: List[GTObject] = []
                 if iou_type == "keypoints":
-                    # COCO ignores GT with num_keypoints == 0
-                    gt = [o for o in gt
-                          if id(o) in gt_keypoints
-                          and np.asarray(gt_keypoints[id(o)])[:, 2].any()]
+                    # COCO IGNORES (not drops) GT with num_keypoints == 0:
+                    # detections matched to them count as neither TP nor FP
+                    # (pycocotools _prepare/evaluateImg semantics)
+                    active = [o for o in gt
+                              if id(o) in gt_keypoints
+                              and np.asarray(gt_keypoints[id(o)])[:, 2].any()]
+                    gt_ignored = [o for o in gt
+                                  if not any(o is a for a in active)]
+                    gt = active
                 n_gt += len(gt)
                 dets = sorted(det_by.get((cat, image_id), []),
                               key=lambda d: -d.score)[:self.max_dets]
                 if not dets:
                     continue
                 iou = _iou_for(dets, gt)
+                iou_ign = (_iou_for(dets, gt_ignored) if gt_ignored
+                           else np.zeros((len(dets), 0)))
                 for d_idx, det in enumerate(dets):
                     scores_all.append(det.score)
                     row = []
@@ -173,6 +198,11 @@ class CocoDetEvaluator:
                         if best >= 0:
                             taken[best] = True
                             matches_all[base + d_idx][t_idx] = 1
+                        elif (iou_ign.shape[1]
+                              and iou_ign[d_idx].max() >= t):
+                            # matched only to an ignored GT: excluded from
+                            # both TP and FP
+                            matches_all[base + d_idx][t_idx] = -1
                         else:
                             matches_all[base + d_idx][t_idx] = 0
 

@@ -92,15 +92,17 @@ def render_mesh_overlay(frame: np.ndarray, verts: np.ndarray,
                         faces: np.ndarray, K: np.ndarray,
                         color: Tuple[float, float, float] = (0.65, 0.74, 0.86),
                         alpha: float = 0.8,
-                        depth_test: Optional[np.ndarray] = None) -> np.ndarray:
+                        depth_test: Optional[np.ndarray] = None,
+                        occlusion_slack: float = 10.0) -> np.ndarray:
     """Alpha-blend a lambertian-shaded mesh into an RGB frame.
 
     The demo-side equivalent of the reference's pyrender overlay
     (ros_demo.py:51-128: offscreen render + mask composite). ``frame``
     ``[H, W, 3]`` uint8 or float 0-1; returns the same dtype. When
     ``depth_test`` (a scene depth map, same units as verts' z) is given,
-    mesh pixels behind the measured surface are hidden (their occlusion
-    rule; here a simple z-compare).
+    mesh pixels behind the measured surface by more than
+    ``occlusion_slack`` (same units as verts' z — default 10 assumes mm;
+    pass ~0.01 for meter-unit scenes) are hidden.
     """
     frame = np.asarray(frame)
     out = frame.astype(np.float32) / (255.0 if frame.dtype == np.uint8 else 1.0)
@@ -109,7 +111,7 @@ def render_mesh_overlay(frame: np.ndarray, verts: np.ndarray,
     depth = render_depth(verts, faces, K, h, w)
     mask = depth > 0
     if depth_test is not None:
-        mask &= (depth_test <= 0) | (depth <= depth_test + 10.0)
+        mask &= (depth_test <= 0) | (depth <= depth_test + occlusion_slack)
 
     # flat shading from the depth gradient-free route: shade by the dominant
     # face normal per pixel is overkill — use headlight diffuse on the

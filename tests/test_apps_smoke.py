@@ -94,3 +94,16 @@ def test_demo_overlay_writer(tmp_path):
                    [60.0, 60.0, 32.0, 24.0])
     import os
     assert any(f.startswith("overlay_0003") for f in os.listdir(tmp_path))
+
+
+def test_a2j_mesh_smoke(tmp_path):
+    """End-to-end a2j_mesh app on synthetic data (would have caught the
+    build_mesh_head tuple-return regression)."""
+    import os
+
+    from handnet_tpu.apps import a2j_mesh
+
+    out = str(tmp_path / "meshes.npz")
+    a2j_mesh.main(["--synthetic", "1", "--crop", "48", "--limit", "2",
+                   "--out", out])
+    assert os.path.exists(out)

@@ -208,3 +208,25 @@ def test_coco_keypoints_ignores_gt_without_visible_joints():
         gt_keypoints={id(gt_vis): gk, id(gt_hidden): hidden})
     # the invisible GT must not count as a missed object
     assert out["AP"] > 0.99
+
+
+def test_coco_keypoints_detection_on_ignored_gt_not_fp():
+    """A detection overlapping ONLY an invisible-keypoint GT is excluded
+    from both TP and FP (pycocotools ignore semantics), so it must not
+    depress the AP earned on a different image."""
+    gt_vis = GTObject("hand", box(0, 0, 100, 100))
+    gt_hidden = GTObject("hand", box(300, 300, 400, 400))
+    annos = {"im0": [gt_vis], "im1": [gt_hidden]}
+    gk = np.ones((21, 3))
+    gk[:, :2] = 50.0
+    hidden = np.zeros((21, 3))
+    d_good = Detection("im0", 0.8, box(0, 0, 100, 100))
+    # confident detection landing inside the ignored GT's expanded box
+    d_ign = Detection("im1", 0.95, box(300, 300, 400, 400))
+    ign_kpts = np.full((21, 2), 350.0)
+    out = CocoDetEvaluator(annos).evaluate(
+        [d_ign, d_good], ["hand", "hand"], iou_type="keypoints",
+        dt_keypoints={id(d_good): gk[:, :2], id(d_ign): ign_kpts},
+        gt_keypoints={id(gt_vis): gk, id(gt_hidden): hidden})
+    # were d_ign counted as FP (it outranks d_good), AP would drop to ~0.5
+    assert out["AP"] > 0.99

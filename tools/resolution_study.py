@@ -33,7 +33,8 @@ from handnet_tpu.config import FCOSConfig, TrainConfig
 from handnet_tpu.data.detect_data import DetectDataSource
 from handnet_tpu.data.dexycb import DexYCBDataset
 from handnet_tpu.data.loader import PrefetchLoader
-from handnet_tpu.data.synthetic import make_synthetic_dexycb
+from handnet_tpu.data.synthetic import (make_synthetic_dexycb,
+                                        synthetic_sequence_number)
 from handnet_tpu.eval.coco_det import CocoDetEvaluator
 from handnet_tpu.eval.voc import Detection, GTObject
 from handnet_tpu.models.fcos import FCOSSystem, preprocess
@@ -91,9 +92,8 @@ def train_and_eval(ds, train_idx, test_idx, info, image_h, image_w, steps,
         s, c, f = ds._mapping[i]
         # ds applies the s0-train sequence filter (every 5th sequence is
         # held out of the SPLIT, dexycb.py:62), so the mapping's sequence
-        # index is into the FILTERED list — recover the generated sequence
-        # number from the directory name for the info lookup
-        gen_s = int(os.path.basename(ds._sequences[int(s)]).split("_")[0][-2:])
+        # index is into the FILTERED list — recover the generation index
+        gen_s = synthetic_sequence_number(ds._sequences[int(s)])
         gt = info[(gen_s, int(f))]
         sample = ds[i]
         color = cv2.imread(sample["color_file"])[:, :, ::-1]
