@@ -10,7 +10,7 @@ Operating points live in configs/ and are selected with PROFILE:
                  the reference's min-800 upscale adds FLOPs, not
                  information). batch 128, bf16.
   PROFILE=parity detector at 800x1088, replicating the reference's
-                 GeneralizedRCNNTransform min-800 resize. batch 64
+                 GeneralizedRCNNTransform min-800 resize. batch 128
                  (throughput knee, tools/perf_probe.py).
 Both run the detector with num_classes=3, ext=False, matching the reference
 pipeline's load_pretrained_fcos (handnet_pipeline/handnet_pipeline.py:14-24).
