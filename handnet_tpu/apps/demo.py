@@ -88,7 +88,14 @@ def main(argv=None):
                              "(software z-buffer; the ros_demo.py:51-128 "
                              "pyrender overlay equivalent); implies --mesh. "
                              "Writes overlay_NNNN.png (or .npy without an "
-                             "image backend) next to --out")
+                             "image backend) next to --out. Without "
+                             "--mano-assets the surface uses a stand-in "
+                             "consecutive-strip triangulation, not MANO "
+                             "topology — pass the npz for a real surface")
+    parser.add_argument("--mano-assets", default=None,
+                        help="mano_right.npz from convert/mano_assets.py; "
+                             "supplies the real MANO face topology for "
+                             "--render-mesh")
     parser.add_argument("--paras", type=float, nargs=4,
                         default=[600.0, 600.0, 320.0, 240.0],
                         help="fx fy cx cy")
@@ -130,7 +137,7 @@ def main(argv=None):
 
     mesh_fn = mesh_faces = None
     if args.mesh or args.render_mesh:
-        mesh_fn, mesh_faces = build_mesh_head()
+        mesh_fn, mesh_faces = build_mesh_head(mano_assets=args.mano_assets)
     overlay_dir = None
     if args.render_mesh:
         overlay_dir = os.path.dirname(os.path.abspath(args.out or "out.npz"))
@@ -191,7 +198,11 @@ def _write_overlay(out_dir: str, idx: int, rgb: np.ndarray,
 
     fx, fy, cx, cy = paras
     k = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
-    verts_cam = np.asarray(verts_rel, np.float64) + joints_xyz[0]  # wrist
+    # pose2mesh emits meter-scale root-relative verts; joints_xyz is mm
+    # (ops/geometry.py:61). The reference does mesh*1000 + joints3d before
+    # rendering (ros_demo.py:334) — same here, everything in mm.
+    verts_cam = (np.asarray(verts_rel, np.float64) * 1000.0
+                 + joints_xyz[0])  # anchor at the wrist joint
     frame8 = np.clip(rgb * 255.0, 0, 255).astype(np.uint8)
     overlay = render_mesh_overlay(frame8, verts_cam, faces, k)
     path = os.path.join(out_dir, f"overlay_{idx:04d}")
@@ -208,20 +219,26 @@ def _write_overlay(out_dir: str, idx: int, rgb: np.ndarray,
             np.save(path + ".npy", overlay)
 
 
-def build_mesh_head():
+def build_mesh_head(mano_assets: Optional[str] = None):
     """Pose2Mesh lifting head over the detected 2D joints
     (ros_demo.py:131-168 equivalent; random weights unless trained).
 
-    Returns (run_fn, faces) — faces for downstream overlay rendering."""
+    Returns (run_fn, faces) — faces for downstream overlay rendering. With
+    ``mano_assets`` (npz from convert/mano_assets.py), the graph pyramid and
+    the rendered surface use the REAL MANO triangulation; otherwise a
+    consecutive-strip stand-in of the same vertex count (fine for plumbing,
+    degenerate as a rendered surface)."""
     from handnet_tpu.models.pose2mesh import (Pose2Mesh,
                                               normalize_joints_for_pose2mesh)
     from handnet_tpu.ops.graph import build_graph_pyramid
 
-    # MANO-topology stand-in mesh: without the licensed MANO assets we build
-    # the pyramid from a synthetic 778-vert trianglulation (same sizes)
-    rng = np.random.default_rng(0)
-    faces = np.stack([np.arange(776), np.arange(1, 777), np.arange(2, 778)],
-                     axis=1)
+    if mano_assets:
+        faces = np.asarray(np.load(mano_assets, allow_pickle=False)["faces"],
+                           np.int64)
+    else:
+        # stand-in 778-vert strip triangulation (same sizes as MANO)
+        faces = np.stack([np.arange(776), np.arange(1, 777),
+                          np.arange(2, 778)], axis=1)
     skeleton = tuple((0, i) for i in (1, 5, 9, 13, 17)) + tuple(
         (i, i + 1) for i in range(1, 20) if i % 4 != 0)
     pyramid = build_graph_pyramid(faces, 21, skeleton, levels=6)

@@ -90,6 +90,7 @@ class PipelineServer:
         self._stop = threading.Event()
         self._frames_done = 0
         self._served_seconds = 0.0
+        self._loop_start: Optional[float] = None
 
     # -- client side --------------------------------------------------------
 
@@ -153,6 +154,30 @@ class PipelineServer:
         return (self._frames_done / self._served_seconds
                 if self._served_seconds else 0.0)
 
+    def compute_fps_probe(self, n_batches: int = 16,
+                          inflight: int = 2) -> float:
+        """Sustained fps of the serving graph with frames PRE-STAGED on
+        device — the compute ceiling of this server on this backend, with
+        the host-transfer and microbatch-assembly terms excluded. The
+        queue-fed ``sustained_fps`` divided by this number is the serving
+        overhead, cleanly separated from the transfer bound (which dominates
+        through remote-TPU tunnels — ROUND2_NOTES measured 85 MB/s there).
+        """
+        h, w = self.frame_hw
+        im_dt, d_dt = self._wire_dtypes
+        ims = jnp.zeros((self.batch_size, h, w, 3), im_dt)
+        ds = jnp.zeros((self.batch_size, h, w), d_dt)
+        jax.block_until_ready(self._fwd(self.variables, ims, ds))  # compile
+        pending: deque = deque()
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            pending.append(self._fwd(self.variables, ims, ds))
+            if len(pending) >= inflight:
+                jax.block_until_ready(pending.popleft())
+        while pending:
+            jax.block_until_ready(pending.popleft())
+        return n_batches * self.batch_size / (time.perf_counter() - t0)
+
     # -- server side ---------------------------------------------------------
 
     def _collect_batch(self, block: bool):
@@ -202,10 +227,13 @@ class PipelineServer:
         for i, (sid, fid) in enumerate(meta):
             self.results.put((sid, fid, {k: v[i] for k, v in host.items()}))
         self._frames_done += n
+        if self._loop_start is not None:
+            self._served_seconds = time.perf_counter() - self._loop_start
 
     def _serve_loop(self) -> None:
         inflight: deque = deque()
         t0 = time.perf_counter()
+        self._loop_start = t0
         while True:
             # only block on input when nothing is in flight; otherwise an
             # idle input queue must drain results, not starve them
@@ -231,6 +259,9 @@ def main(argv=None):
     parser.add_argument("--streams", type=int, default=4)
     parser.add_argument("--profile", default="fast",
                         help="configs/<profile>.yaml operating point")
+    parser.add_argument("--compute-only", action="store_true",
+                        help="also print the device-staged compute ceiling "
+                             "(no host transfer) for overhead attribution")
     args = parser.parse_args(argv)
 
     import os
@@ -240,7 +271,13 @@ def main(argv=None):
         os.path.abspath(__file__))))
     cfg = load_config(yaml_path=os.path.join(repo, "configs",
                                              f"{args.profile}.yaml"))
-    server = PipelineServer(cfg, batch_size=args.batch).start()
+    server = PipelineServer(cfg, batch_size=args.batch)
+    if args.compute_only:
+        ceiling = server.compute_fps_probe(
+            n_batches=max(args.frames // args.batch, 4))
+        print(f"compute ceiling (device-staged, no transfer): "
+              f"{ceiling:.1f} fps")
+    server.start()
 
     rng = np.random.default_rng(0)
     # sensor-native frames: no per-frame float->uint8 conversion on submit

@@ -141,8 +141,14 @@ class CocoDetEvaluator:
                     [dt_masks[id(d)] for d in dets],
                     [gt_masks[id(o)] for o in gt]))
             if iou_type == "keypoints":
+                # ignored GTs may lack a keypoints entry entirely (filtered
+                # into gt_ignored at :167-171); substitute an all-invisible
+                # array so _oks_matrix takes its box-fallback branch
+                no_kpts = np.zeros(
+                    (np.asarray(dt_keypoints[id(dets[0])]).shape[0], 3))
                 return _oks_matrix([dt_keypoints[id(d)] for d in dets],
-                                   [gt_keypoints[id(o)] for o in gt],
+                                   [gt_keypoints.get(id(o), no_kpts)
+                                    for o in gt],
                                    [_gt_area(o) for o in gt],
                                    gt_boxes=[o.bbox for o in gt])
             return _iou_xyxy(np.stack([d.bbox for d in dets]),

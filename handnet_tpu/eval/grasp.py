@@ -40,6 +40,74 @@ ANGLES = (np.deg2rad(15),)
 DIST_THRESHOLDS = (0.00, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07)
 
 
+# Panda-gripper primitive geometry (meters, gripper/grasp frame: z = approach
+# direction, fingers close along x). Dimensions follow the published Franka
+# hand envelope (80 mm max opening, ~54 mm finger length, ~18x10 mm finger
+# cross-section) — a primitive-box stand-in for the reference's
+# assets/panda_pc.npy sample (grasp_eval.py:88-92).
+_GRIPPER_BOXES = (
+    # (center, half-extents)
+    ((0.0, 0.0, -0.010), (0.040, 0.011, 0.010)),     # palm bar
+    ((-0.035, 0.0, 0.027), (0.005, 0.009, 0.027)),   # left finger
+    ((0.035, 0.0, 0.027), (0.005, 0.009, 0.027)),    # right finger
+)
+
+
+def panda_gripper_pc(n_points: int = 256, seed: int = 0) -> np.ndarray:
+    """Surface point sample of the primitive Panda gripper, ``[n, 3]``.
+
+    Points are spread over the box surfaces proportionally to area
+    (deterministic given ``seed``). Density sets the collision check's
+    resolution — see :func:`solid_penetration_sphere` and
+    tests/test_grasp.py's calibration test for the measured miss bound.
+    """
+    rng = np.random.default_rng(seed)
+    faces = []   # (origin, edge_u, edge_v, area)
+    for (cx, cy, cz), (hx, hy, hz) in _GRIPPER_BOXES:
+        c = np.array([cx, cy, cz])
+        h = np.array([hx, hy, hz])
+        for axis in range(3):
+            u, v = (axis + 1) % 3, (axis + 2) % 3
+            area = 4.0 * h[u] * h[v]
+            for sign in (-1.0, 1.0):
+                origin = c.copy()
+                origin[axis] += sign * h[axis]
+                eu = np.zeros(3)
+                eu[u] = h[u]
+                ev = np.zeros(3)
+                ev[v] = h[v]
+                faces.append((origin, eu, ev, area))
+    areas = np.array([f[3] for f in faces])
+    counts = np.maximum(
+        np.round(areas / areas.sum() * n_points).astype(int), 1)
+    pts = []
+    for (origin, eu, ev, _), k in zip(faces, counts):
+        uv = rng.uniform(-1.0, 1.0, size=(k, 2))
+        pts.append(origin + uv[:, :1] * eu + uv[:, 1:] * ev)
+    return np.concatenate(pts)[:n_points] if n_points else np.concatenate(pts)
+
+
+def solid_penetration_sphere(grasp_tf: np.ndarray, center: np.ndarray,
+                             radius: float) -> float:
+    """EXACT penetration depth of the solid primitive gripper into a sphere
+    (positive = interpenetrating), the analytic oracle for calibrating the
+    point-proximity collision substitute against the reference's FCL
+    mesh-mesh check (grasp_eval.py:515-527).
+
+    Uses the closed-form point-to-box distance per gripper box after
+    transforming the sphere center into the gripper frame.
+    """
+    inv_r = grasp_tf[:3, :3].T
+    c_local = inv_r @ (np.asarray(center, np.float64) - grasp_tf[:3, 3])
+    best = np.inf
+    for (bx, by, bz), (hx, hy, hz) in _GRIPPER_BOXES:
+        d = np.abs(c_local - np.array([bx, by, bz])) - np.array([hx, hy, hz])
+        outside = np.linalg.norm(np.maximum(d, 0.0))
+        inside = min(float(np.max(d)), 0.0)   # negative when center in box
+        best = min(best, outside + inside)
+    return radius - best
+
+
 def quat_conjugate(q: np.ndarray) -> np.ndarray:
     return q * np.array([1.0, -1.0, -1.0, -1.0])
 
@@ -188,16 +256,14 @@ class GraspEvaluator:
         self.radius = tuple(radius)
         self.angles = tuple(angles)
         self.dist_thresholds = tuple(dist_thresholds)
-        # default stand-in for the panda gripper point cloud
-        # (grasp_eval.py:88-92 loads assets/panda_pc.npy[:100]): a two-finger
-        # U of 100 points, ~10 cm deep x 8 cm wide, in gripper frame
+        # default gripper sample: primitive-geometry Panda surface points
+        # standing in for assets/panda_pc.npy[:100] (grasp_eval.py:88-92).
+        # 256 points + eps from the measured calibration curve
+        # (tools/calibrate_grasp_collision.py vs the exact solid oracle
+        # solid_penetration_sphere) — see the numbers in that tool's
+        # docstring / ROUND3_NOTES.
         if gripper_pc is None:
-            zs = np.linspace(0.0, 0.10, 34)
-            left = np.stack([np.full(34, -0.04), np.zeros(34), zs], 1)
-            right = np.stack([np.full(34, 0.04), np.zeros(34), zs], 1)
-            base = np.stack([np.linspace(-0.04, 0.04, 32), np.zeros(32),
-                             np.zeros(32)], 1)
-            gripper_pc = np.concatenate([left, right, base])
+            gripper_pc = panda_gripper_pc(256)
         self.gripper_pc = np.asarray(gripper_pc)
         self.collision_eps = collision_eps
 

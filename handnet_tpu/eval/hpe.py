@@ -152,3 +152,32 @@ class HPEEvaluator:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "hpe_epoch_metrics.pkl"), "wb") as f:
             pickle.dump(self._epoch_metrics, f)
+
+    def save_pck_curves(self, out_dir: str, epoch) -> Optional[str]:
+        """Emit the per-epoch PCK-curve HTML artifact — the reference's
+        `hpe_curve_*` report (hpe_eval.py:240-250 -> freihand/eval.py:104-130
+        curve/createHTML), rendered as self-contained inline SVG instead of
+        base64 matplotlib PNGs (no GUI/matplotlib dependency).
+
+        Returns the written path, or None when ``evaluate`` has not run for
+        ``epoch`` yet."""
+        from handnet_tpu.utils.monitoring import _svg_line_plot
+
+        key = f"{epoch}"
+        if key not in self._epoch_metrics["ab"]:
+            return None
+        titles = {"ab": "PCK curve for absolute keypoint error",
+                  "rr": "PCK curve for root-relative keypoint error",
+                  "pa": "PCK curve for Procrustes aligned keypoint error"}
+        charts = []
+        for align in ("ab", "rr", "pa"):
+            _, _, pck, thresh = self._epoch_metrics[align][key]
+            charts.append(_svg_line_plot(list(np.asarray(thresh)),
+                                         list(np.asarray(pck)),
+                                         titles[align], w=520, h=300))
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"hpe_curve_{epoch}.html")
+        with open(path, "w") as f:
+            f.write("<!DOCTYPE html>\n<html><body><h1>Detailed results:"
+                    "</h1>\n" + "\n".join(charts) + "\n</body></html>\n")
+        return path

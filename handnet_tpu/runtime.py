@@ -17,8 +17,25 @@ import time
 from typing import Iterator, Optional
 
 
-def setup(cache_dir: Optional[str] = None) -> None:
-    """Enable the persistent XLA compilation cache (idempotent)."""
+def setup(cache_dir: Optional[str] = None,
+          distributed: Optional[bool] = None) -> None:
+    """Enable the persistent XLA compilation cache (idempotent), and — for
+    multi-host pods — initialize the jax distributed runtime.
+
+    Multi-host is the TPU-native replacement for the reference's latent DDP
+    (config/a2j.yaml:5 strategy stub + DistributedSampler at
+    utils/utils.py:53,82,106): ``jax.distributed.initialize()`` wires every
+    host process into one global device namespace, after which
+    ``parallel.mesh.create_mesh()`` spans all chips in the pod and the pjit
+    collectives ride ICI/DCN. Data sharding per host maps straight onto
+    ``PrefetchLoader(shard_id=jax.process_index(),
+    num_shards=jax.process_count())`` — see :func:`process_shard`.
+
+    ``distributed=None`` auto-detects: initialize when a coordinator is
+    configured (``COORDINATOR_ADDRESS``/``JAX_COORDINATOR_ADDRESS`` env, or
+    a TPU-pod environment jax can self-discover via ``HANDNET_DISTRIBUTED``).
+    Pass ``distributed=False`` to force single-process.
+    """
     import jax
 
     cache_dir = (cache_dir or os.environ.get("HANDNET_XLA_CACHE")
@@ -29,6 +46,35 @@ def setup(cache_dir: Optional[str] = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax without the knobs — harmless
+
+    if distributed is None:
+        distributed = bool(
+            os.environ.get("COORDINATOR_ADDRESS")
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("HANDNET_DISTRIBUTED"))
+    if distributed and not _distributed_initialized():
+        # coordinator/process env comes from the launcher (GKE/TPU-VM set
+        # these; explicit COORDINATOR_ADDRESS + PROCESS_ID work anywhere)
+        jax.distributed.initialize()
+
+
+def _distributed_initialized() -> bool:
+    import jax
+
+    try:
+        state = jax.distributed.global_state
+        return state.client is not None
+    except Exception:
+        return False
+
+
+def process_shard() -> "tuple[int, int]":
+    """(shard_id, num_shards) for this host's input pipeline — feed directly
+    to ``data.loader.PrefetchLoader``; the per-host replacement for the
+    reference's DistributedSampler (utils/utils.py:53)."""
+    import jax
+
+    return jax.process_index(), jax.process_count()
 
 
 @contextlib.contextmanager

@@ -230,3 +230,23 @@ def test_coco_keypoints_detection_on_ignored_gt_not_fp():
         gt_keypoints={id(gt_vis): gk, id(gt_hidden): hidden})
     # were d_ign counted as FP (it outranks d_good), AP would drop to ~0.5
     assert out["AP"] > 0.99
+
+
+def test_coco_keypoints_ignored_gt_missing_keypoints_entry():
+    """Regression: a GT object with NO gt_keypoints entry at all must be
+    ignored (not crash with KeyError) — the ignored-GT OKS computation
+    substitutes an all-invisible array (coco_det.py _iou_for)."""
+    gt_vis = GTObject("hand", box(0, 0, 100, 100))
+    gt_nokpts = GTObject("hand", box(300, 300, 400, 400))
+    annos = {"im0": [gt_vis, gt_nokpts]}
+    gk = np.ones((21, 3))
+    gk[:, :2] = 50.0
+    d_good = Detection("im0", 0.8, box(0, 0, 100, 100))
+    d_ign = Detection("im0", 0.95, box(300, 300, 400, 400))
+    out = CocoDetEvaluator(annos).evaluate(
+        [d_ign, d_good], ["hand", "hand"], iou_type="keypoints",
+        dt_keypoints={id(d_good): gk[:, :2],
+                      id(d_ign): np.full((21, 2), 350.0)},
+        gt_keypoints={id(gt_vis): gk})
+    # d_ign lands in the entry-less GT's expanded box -> neither TP nor FP
+    assert out["AP"] > 0.99

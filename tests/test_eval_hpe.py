@@ -93,3 +93,26 @@ def test_hpe_evaluator_skips_missing_ids(rng):
     res = {0: gt[0], 2: gt[2]}  # only 2 of 5 present
     out = HPEEvaluator(gt).evaluate_dict(0, res)
     assert out["absolute"]["mpjpe"] == 0.0
+
+
+def test_pck_curve_html(tmp_path, rng):
+    """save_pck_curves emits the reference's per-epoch curve artifact
+    (hpe_eval.py:240-250) as well-formed HTML with three SVG curves."""
+    import xml.etree.ElementTree as ET
+
+    gt = {i: rng.normal(size=(21, 3)) * 10 for i in range(4)}
+    res = {i: gt[i] + rng.normal(size=(21, 3)) for i in range(4)}
+    ev = HPEEvaluator(gt)
+    assert ev.save_pck_curves(str(tmp_path), 3) is None  # not evaluated yet
+    ev.evaluate_dict(3, res)
+    path = ev.save_pck_curves(str(tmp_path), 3)
+    assert path is not None and path.endswith("hpe_curve_3.html")
+    text = open(path).read()
+    assert text.count("<svg") == 3
+    for title in ("absolute", "root-relative", "Procrustes"):
+        assert title in text
+    # each SVG parses as XML and carries a non-empty polyline
+    for chunk in text.split("<svg")[1:]:
+        svg = ET.fromstring("<svg" + chunk.split("</svg>")[0] + "</svg>")
+        pts = [el for el in svg.iter() if el.tag.endswith("polyline")]
+        assert pts and len(pts[0].attrib["points"].split()) > 10

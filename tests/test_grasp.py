@@ -211,3 +211,77 @@ def test_scene_table_shape():
     assert rows[0][3] == 0.5 and rows[0][4] == 0.5
     table = ev.format_table(rows)
     assert "coverage" in table and table.count("\n") == len(rows) + 1
+
+
+def test_panda_gripper_pc_geometry():
+    """Surface sample lies on the primitive boxes and spans the envelope
+    (80mm opening, 54mm fingers)."""
+    from handnet_tpu.eval.grasp import panda_gripper_pc
+
+    pc = panda_gripper_pc(256)
+    assert pc.shape == (256, 3)
+    assert abs(pc[:, 0].max() - 0.04) < 1e-6 and abs(pc[:, 0].min() + 0.04) < 1e-6
+    assert pc[:, 2].max() <= 0.054 + 1e-9 and pc[:, 2].min() >= -0.02 - 1e-9
+    # deterministic
+    np.testing.assert_array_equal(pc, panda_gripper_pc(256))
+
+
+def test_solid_penetration_sphere_oracle():
+    """Closed-form penetration depth: sphere touching a finger face."""
+    from handnet_tpu.eval.grasp import solid_penetration_sphere
+
+    tf = np.eye(4)
+    # sphere centered between the fingers at finger midheight: nearest solid
+    # is the palm-bar top face (z=0, 27mm below), nearer than the finger
+    # inner faces (|x|=0.030)
+    center = np.array([0.0, 0.0, 0.027])
+    assert abs(solid_penetration_sphere(tf, center, 0.027) - 0.0) < 1e-9
+    assert abs(solid_penetration_sphere(tf, center, 0.032) - 0.005) < 1e-9
+    # directly between the finger inner faces, above the palm: fingers win
+    mid = np.array([0.0, 0.0, 0.100])
+    d_finger = np.sqrt(0.030 ** 2 + (0.100 - 0.054) ** 2)  # edge distance
+    assert abs(solid_penetration_sphere(tf, mid, d_finger) - 0.0) < 1e-9
+    # far away: deeply negative (clearance)
+    far = np.array([0.0, 0.0, 0.50])
+    assert solid_penetration_sphere(tf, far, 0.03) < -0.4
+
+
+def test_collision_calibration_catches_penetrations():
+    """The committed defaults (panda_gripper_pc(256), eps=5mm) must flag
+    EVERY pose whose exact solid penetration is >=1mm, and never flag
+    clearance >eps+2mm — the measured bound from
+    tools/calibrate_grasp_collision.py (0% miss / 0% FA over 1500 trials at
+    both scene densities), spot-verified here on 300 fresh-seed trials at
+    the sparser (hand, 778-pt) density."""
+    from handnet_tpu.eval.grasp import (_min_dist_to, panda_gripper_pc,
+                                        solid_penetration_sphere)
+
+    r = 0.03
+    n_scene = 778
+    i = np.arange(n_scene) + 0.5
+    phi = np.arccos(1 - 2 * i / n_scene)
+    theta = np.pi * (1 + 5 ** 0.5) * i
+    scene = r * np.stack([np.sin(phi) * np.cos(theta),
+                          np.sin(phi) * np.sin(theta), np.cos(phi)], axis=1)
+
+    gpc = panda_gripper_pc(256)
+    eps = 0.005
+    rng = np.random.default_rng(99)
+    n_pen = n_clear = 0
+    for _ in range(300):
+        q, rr = np.linalg.qr(rng.normal(size=(3, 3)))
+        q *= np.sign(np.diag(rr))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        tf = np.eye(4)
+        tf[:3, :3] = q
+        tf[:3, 3] = rng.uniform(-0.08, 0.08, size=3)
+        depth = solid_penetration_sphere(tf, np.zeros(3), r)
+        flagged = _min_dist_to(gpc @ tf[:3, :3].T + tf[:3, 3], scene) <= eps
+        if depth >= 0.001:
+            n_pen += 1
+            assert flagged, f"missed {depth * 1000:.1f}mm penetration"
+        elif depth <= -(eps + 0.002):
+            n_clear += 1
+            assert not flagged, f"false alarm at {-depth * 1000:.1f}mm clear"
+    assert n_pen > 20 and n_clear > 20  # both regimes actually exercised

@@ -92,3 +92,56 @@ def test_offset_field_roundtrip(rng):
     assert field.shape == (2, 16, 32, 32)
     back = np.asarray(offset2joint_softmax(field, jnp.asarray(img), 0.8))
     np.testing.assert_allclose(back, jt, atol=0.1)
+
+
+def test_runtime_multihost_hooks(monkeypatch):
+    """setup(distributed=...) gates jax.distributed.initialize on coordinator
+    env; process_shard maps process_index/count to the PrefetchLoader shard
+    contract (the reference's DistributedSampler, utils/utils.py:53)."""
+    import jax
+
+    from handnet_tpu import runtime
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("HANDNET_DISTRIBUTED", raising=False)
+
+    runtime.setup()                      # no coordinator -> single process
+    assert calls == []
+    runtime.setup(distributed=False)     # forced off
+    assert calls == []
+    monkeypatch.setenv("HANDNET_DISTRIBUTED", "1")
+    runtime.setup()                      # coordinator env -> initialize
+    assert calls == [1]
+
+    sid, n = runtime.process_shard()
+    assert (sid, n) == (0, 1)            # single-process in tests
+
+
+def test_prefetch_loader_shard_math():
+    """Every shard gets the same ceil(n/num_shards) count (pjit needs equal
+    per-host batches) and the union covers the dataset."""
+    import numpy as np
+
+    from handnet_tpu.data.loader import PrefetchLoader
+
+    class _DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.asarray([i])}
+
+    seen = []
+    per_shard_counts = []
+    for sid in range(4):
+        loader = PrefetchLoader(_DS(), batch_size=1, shuffle=False,
+                                shard_id=sid, num_shards=4)
+        items = [int(b["x"][0, 0]) for b in loader]
+        per_shard_counts.append(len(items))
+        seen.extend(items)
+    assert len(set(per_shard_counts)) == 1          # equal per-host work
+    assert set(seen) >= set(range(10))              # full coverage (pad wraps)

@@ -1,0 +1,368 @@
+"""Parity against the reference's OWN code, imported at test time.
+
+The round-2 oracle harness (tests/torch_oracles.py) compares the flax stack
+against torch replicas written by the same author — a misread reference
+detail would pass on both sides. These tests break that correlation for
+every reference module importable WITHOUT torchvision/lightning, by loading
+the reference sources directly from the read-only mount (never copied into
+the repo) and asserting the flax stack matches the reference's *actual*
+forward math:
+
+* a2j/anchor.py:7-42     generate_anchors/shift  vs ops/anchors.a2j_anchor_grid
+* a2j/anchor.py:44-82    post_process            vs models/a2j.a2j_postprocess
+* a2j/anchor.py:84-153   A2J_loss                vs models/a2j.a2j_loss
+* a2j/resnet.py:99-218   dilated resnet50        vs nn/resnet.resnet50_dilated
+                                                  (through convert/torch_weights)
+* fcos_utils/det_utils.py:121-294 BoxCoder/BoxLinearCoder vs ops/boxes
+* pose2mesh/lib/models/{pose2mesh_net,posenet,meshnet}.py FlatPose2Mesh
+                                                  vs models/pose2mesh.Pose2Mesh
+                                                  (through convert/torch_weights)
+
+Layout note (a2j/a2j.py:86-89): the reference heads permute(0,3,2,1) so the
+flat anchor axis is (w, h, a)-ordered; this package's NHWC heads flatten
+(h, w, a). The softmax aggregation is order-invariant given a consistent
+anchor table, so tests reorder the reference-laid-out tensors with _A2J_PERM
+before feeding the flax ops (whose table is ops/anchors transposed mode).
+
+Everything skips when /root/reference is not mounted.
+"""
+
+from __future__ import annotations
+
+import importlib
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+REF = os.environ.get("HANDNET_REFERENCE", "/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference mount not available")
+
+
+def _load(name: str, relpath: str):
+    """Import a reference file under a collision-proof module name."""
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_anchor():
+    return _load("ref_a2j_anchor", "a2j/anchor.py")
+
+
+@pytest.fixture(scope="module")
+def ref_resnet():
+    return _load("ref_a2j_resnet", "a2j/resnet.py")
+
+
+@pytest.fixture(scope="module")
+def ref_det_utils():
+    # det_utils imports torchvision only for FrozenBatchNorm2d, which the
+    # box coders never touch; satisfy the import with a stand-in.
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        ops = types.ModuleType("torchvision.ops")
+        misc = types.ModuleType("torchvision.ops.misc")
+        misc.FrozenBatchNorm2d = torch.nn.BatchNorm2d
+        tv.ops, ops.misc = ops, misc
+        sys.modules.update({"torchvision": tv, "torchvision.ops": ops,
+                            "torchvision.ops.misc": misc})
+    return _load("ref_det_utils", "fcos_utils/det_utils.py")
+
+
+@pytest.fixture(scope="module")
+def ref_pose2mesh_net():
+    """Import the reference FlatPose2Mesh with minimal cfg stubs.
+
+    pose2mesh modules resolve `core.config`, `funcs_utils`, `graph_utils`,
+    `coarsening` and the `models` package from pose2mesh/lib on sys.path
+    (the reference's init_env.sh adds it the same way). cfg only needs the
+    two attributes the model constructors read.
+    """
+    lib = os.path.join(REF, "pose2mesh", "lib")
+    core = types.ModuleType("core")
+    core_config = types.ModuleType("core.config")
+    core_config.cfg = types.SimpleNamespace(
+        DATASET=types.SimpleNamespace(target_joint_set="mano"),
+        MODEL=types.SimpleNamespace(posenet_pretrained=False,
+                                    posenet_path=""))
+    core.config = core_config
+    funcs_utils = types.ModuleType("funcs_utils")
+    funcs_utils.load_checkpoint = lambda *a, **k: None
+    sys.modules.setdefault("core", core)
+    sys.modules.setdefault("core.config", core_config)
+    sys.modules.setdefault("funcs_utils", funcs_utils)
+    sys.path.insert(0, lib)
+    try:
+        yield importlib.import_module("models.pose2mesh_net")
+    finally:
+        sys.path.remove(lib)
+
+
+# ---------------------------------------------------------------------------
+# A2J anchors / decode / loss vs a2j/anchor.py
+
+_SHAPE = (11, 11)   # 176/16 grid, a2j/a2j.py:221-223
+_STRIDE = 16
+_OFFS = [2, 6, 10, 14]
+_A = len(_OFFS) ** 2
+
+
+def _a2j_perm(h: int = 11, w: int = 11, a: int = _A) -> np.ndarray:
+    """Reference flat (w, h, a) index for each of this package's (h, w, a)."""
+    return (np.arange(w * h * a).reshape(w, h, a)
+            .transpose(1, 0, 2).reshape(-1))
+
+
+def _my_anchors():
+    from handnet_tpu.ops.anchors import a2j_anchor_grid
+
+    return a2j_anchor_grid(*_SHAPE, stride=_STRIDE, offsets=_OFFS,
+                           transposed=True)
+
+
+def test_a2j_anchor_table_matches_reference(ref_anchor):
+    ref = ref_anchor.shift(list(_SHAPE), _STRIDE,
+                           ref_anchor.generate_anchors(
+                               P_h=np.array(_OFFS), P_w=np.array(_OFFS)))
+    ref_hwa = (ref.reshape(_SHAPE[1], _SHAPE[0], _A, 2)
+               .transpose(1, 0, 2, 3).reshape(-1, 2))
+    np.testing.assert_array_equal(_my_anchors(), ref_hwa.astype(np.float32))
+
+
+def _random_heads(rng, batch=2, p=21):
+    n = _SHAPE[0] * _SHAPE[1] * _A
+    return (rng.normal(size=(batch, n, p)).astype(np.float32),
+            rng.normal(size=(batch, n, p, 2)).astype(np.float32) * 8.0,
+            rng.normal(size=(batch, n, p)).astype(np.float32) * 0.3)
+
+
+def test_a2j_postprocess_matches_reference(ref_anchor):
+    from handnet_tpu.models.a2j import a2j_postprocess
+
+    rng = np.random.default_rng(0)
+    cls, reg, dep = _random_heads(rng)
+
+    pp = ref_anchor.post_process(P_h=_OFFS, P_w=_OFFS, shape=list(_SHAPE),
+                                 stride=_STRIDE)
+    with torch.no_grad():
+        ref_uvd = pp((torch.as_tensor(cls), torch.as_tensor(reg),
+                      torch.as_tensor(dep))).numpy()
+
+    perm = _a2j_perm()
+    mine = a2j_postprocess({"cls": jnp.asarray(cls[:, perm]),
+                            "reg": jnp.asarray(reg[:, perm]),
+                            "depth": jnp.asarray(dep[:, perm])},
+                           jnp.asarray(_my_anchors()), use_pallas=False)
+    np.testing.assert_allclose(np.asarray(mine), ref_uvd,
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_a2j_loss_matches_reference(ref_anchor):
+    from handnet_tpu.models.a2j import a2j_loss
+
+    rng = np.random.default_rng(1)
+    cls, reg, dep = _random_heads(rng)
+    gt = rng.uniform(0, 176, size=(2, 21, 3)).astype(np.float32)
+    gt[..., 2] = rng.normal(size=(2, 21)) * 0.2  # depth-scale targets
+
+    crit = ref_anchor.A2J_loss(P_h=_OFFS, P_w=_OFFS, shape=list(_SHAPE),
+                               stride=_STRIDE, spatialFactor=0.5,
+                               img_shape=[176, 176])
+    with torch.no_grad():
+        ref_cls, ref_reg = crit((torch.as_tensor(cls), torch.as_tensor(reg),
+                                 torch.as_tensor(dep)), torch.as_tensor(gt))
+
+    perm = _a2j_perm()
+    my_cls, my_reg = a2j_loss({"cls": jnp.asarray(cls[:, perm]),
+                               "reg": jnp.asarray(reg[:, perm]),
+                               "depth": jnp.asarray(dep[:, perm])},
+                              jnp.asarray(gt), jnp.asarray(_my_anchors()),
+                              spatial_factor=0.5,
+                              reference_depth_quirk=True)
+    np.testing.assert_allclose(float(my_cls), float(ref_cls), rtol=1e-5)
+    np.testing.assert_allclose(float(my_reg), float(ref_reg), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Dilated ResNet-50 vs a2j/resnet.py through the weight converter
+
+
+def test_dilated_resnet50_matches_reference(ref_resnet):
+    from handnet_tpu.convert.torch_weights import convert_a2j
+    from handnet_tpu.nn.resnet import resnet50_dilated
+
+    tmodel = ref_resnet.resnet50()
+    from torch_oracles import randomize_
+    randomize_(tmodel, seed=7, scale=0.05)
+    tmodel.eval()
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        t = torch.as_tensor(x)
+        t = tmodel.relu(tmodel.bn1(tmodel.conv1(t)))
+        t = tmodel.maxpool(t)
+        t = tmodel.layer2(tmodel.layer1(t))
+        x3 = tmodel.layer3(t)            # stride 16, 1024ch (a2j x3)
+        x4 = tmodel.layer4(x3)           # stride 16 dilated, 2048ch (a2j x4)
+
+    sd = {"Backbone.model." + k: v.numpy()
+          for k, v in tmodel.state_dict().items()}
+    conv = convert_a2j(sd)
+    variables = jax.tree_util.tree_map(jnp.asarray, {
+        "params": conv["params"]["backbone"],
+        "batch_stats": conv["batch_stats"]["backbone"]})
+
+    model = resnet50_dilated()
+    feats = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                        train=False)
+    np.testing.assert_allclose(
+        np.asarray(feats["c4"]), np.transpose(x3.numpy(), (0, 2, 3, 1)),
+        rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(feats["c5"]), np.transpose(x4.numpy(), (0, 2, 3, 1)),
+        rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# FCOS / Faster-RCNN box coders vs fcos_utils/det_utils.py
+
+
+def test_linear_coder_matches_reference(ref_det_utils):
+    from handnet_tpu.ops.boxes import linear_decode, linear_encode
+
+    rng = np.random.default_rng(2)
+    x1y1 = rng.uniform(0, 200, size=(64, 2)).astype(np.float32)
+    wh = rng.uniform(8, 120, size=(64, 2)).astype(np.float32)
+    anchors = np.concatenate([x1y1, x1y1 + wh], axis=1)
+    g1 = rng.uniform(0, 200, size=(64, 2)).astype(np.float32)
+    gwh = rng.uniform(8, 120, size=(64, 2)).astype(np.float32)
+    gts = np.concatenate([g1, g1 + gwh], axis=1)
+
+    for normalize in (True, False):
+        coder = ref_det_utils.BoxLinearCoder(normalize_by_size=normalize)
+        # NOTE det_utils.py:237-249 argument names are swapped vs their use:
+        # "reference_boxes" is the anchor (center source), "proposals" the
+        # target box — mirror that call convention exactly.
+        ref_enc = coder.encode_single(torch.as_tensor(anchors),
+                                      torch.as_tensor(gts)).numpy()
+        my_enc = np.asarray(linear_encode(jnp.asarray(anchors),
+                                          jnp.asarray(gts),
+                                          normalize_by_size=normalize))
+        np.testing.assert_allclose(my_enc, ref_enc, rtol=1e-5, atol=1e-5)
+
+        ref_dec = coder.decode_single(torch.as_tensor(ref_enc),
+                                      torch.as_tensor(anchors)).numpy()
+        my_dec = np.asarray(linear_decode(jnp.asarray(ref_enc),
+                                          jnp.asarray(anchors),
+                                          normalize_by_size=normalize))
+        np.testing.assert_allclose(my_dec, ref_dec, rtol=1e-5, atol=1e-4)
+
+
+def test_delta_coder_matches_reference(ref_det_utils):
+    from handnet_tpu.ops.boxes import delta_decode, delta_encode
+
+    rng = np.random.default_rng(3)
+    p1 = rng.uniform(0, 200, size=(48, 2)).astype(np.float32)
+    pwh = rng.uniform(8, 120, size=(48, 2)).astype(np.float32)
+    proposals = np.concatenate([p1, p1 + pwh], axis=1)
+    g1 = rng.uniform(0, 200, size=(48, 2)).astype(np.float32)
+    gwh = rng.uniform(8, 120, size=(48, 2)).astype(np.float32)
+    gts = np.concatenate([g1, g1 + gwh], axis=1)
+
+    weights = (10.0, 10.0, 5.0, 5.0)
+    coder = ref_det_utils.BoxCoder(weights=weights)
+    ref_enc = coder.encode_single(torch.as_tensor(gts),
+                                  torch.as_tensor(proposals)).numpy()
+    my_enc = np.asarray(delta_encode(jnp.asarray(gts), jnp.asarray(proposals),
+                                     weights=weights))
+    np.testing.assert_allclose(my_enc, ref_enc, rtol=1e-4, atol=1e-4)
+
+    ref_dec = coder.decode_single(torch.as_tensor(ref_enc),
+                                  torch.as_tensor(proposals)).numpy()
+    my_dec = np.asarray(delta_decode(jnp.asarray(ref_enc),
+                                     jnp.asarray(proposals), weights=weights))
+    np.testing.assert_allclose(my_dec, ref_dec.reshape(-1, 4),
+                               rtol=1e-4, atol=1e-3)
+
+    # multi-class decode: rel_codes [N, 4K] -> [N, K, 4]
+    k = 3
+    multi = np.tile(ref_enc, (1, k)) * rng.uniform(
+        0.5, 1.5, size=(48, 4 * k)).astype(np.float32)
+    ref_multi = coder.decode(torch.as_tensor(multi),
+                             [torch.as_tensor(proposals)]).numpy()
+    my_multi = np.asarray(delta_decode(
+        jnp.asarray(multi.reshape(48, k, 4)),
+        jnp.asarray(proposals)[:, None, :], weights=weights))
+    np.testing.assert_allclose(my_multi, ref_multi, rtol=1e-4, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Pose2Mesh vs pose2mesh/lib (posenet + meshnet + flat wrapper)
+
+
+def test_pose2mesh_matches_reference(ref_pose2mesh_net, monkeypatch):
+    import scipy.sparse as sp
+
+    from handnet_tpu.config import Pose2MeshConfig
+    from handnet_tpu.convert.torch_weights import convert_pose2mesh
+    from handnet_tpu.models.pose2mesh import Pose2Mesh
+    from handnet_tpu.ops import graph as G
+    from torch_oracles import randomize_, state_dict_numpy
+
+    # meshnet.forward hard-codes .cuda() (meshnet.py:82); run it on CPU
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self,
+                        raising=False)
+
+    skeleton = ((0, 1), (0, 5), (0, 9), (0, 13), (0, 17), (1, 2), (2, 3),
+                (3, 4), (5, 6), (6, 7), (7, 8), (9, 10), (10, 11), (11, 12),
+                (13, 14), (14, 15), (15, 16), (17, 18), (18, 19), (19, 20))
+    rng = np.random.default_rng(4)
+    n_verts = 80
+    faces = rng.integers(0, n_verts, size=(200, 3))
+    faces[:, 1] = (faces[:, 0] + 1) % n_verts
+    faces[:, 2] = (faces[:, 0] + 2) % n_verts
+    faces[:n_verts, 0] = np.arange(n_verts)
+    faces[:n_verts, 1] = (np.arange(n_verts) + 1) % n_verts
+    faces[:n_verts, 2] = (np.arange(n_verts) + 2) % n_verts
+    pyr = G.build_graph_pyramid(faces, 21, skeleton, levels=6)
+
+    # the reference wants scipy-sparse Laplacians and deletes [-2] itself
+    # (meshnet.py:35); ours are the same matrices stored dense
+    graph_l = [sp.csr_matrix(l) for l in pyr.laplacians]
+    tmodel = ref_pose2mesh_net.FlatPose2Mesh(num_joint=21, graph_L=graph_l)
+    randomize_(tmodel, seed=9)
+    tmodel.eval()
+
+    pose2d = rng.normal(size=(3, 21, 2)).astype(np.float32)
+    with torch.no_grad():
+        tmesh, tpose3d = tmodel(torch.as_tensor(pose2d))
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_pose2mesh(state_dict_numpy(tmodel)))
+    model = Pose2Mesh(pyramid=pyr, cfg=Pose2MeshConfig())  # hid 4096 default
+    ref_shapes = model.init(jax.random.PRNGKey(0), jnp.asarray(pose2d),
+                            train=False)
+    assert (jax.tree_util.tree_structure(variables["params"])
+            == jax.tree_util.tree_structure(ref_shapes["params"]))
+
+    mesh, pose3d = model.apply(variables, jnp.asarray(pose2d), train=False)
+    np.testing.assert_allclose(np.asarray(pose3d), tpose3d.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mesh), tmesh.numpy(),
+                               rtol=1e-3, atol=1e-3)
