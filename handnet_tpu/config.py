@@ -70,6 +70,11 @@ class FCOSConfig:
     nms_thresh: float = 0.6        # ctor default; pipeline passes 0.5, postprocess uses 0.3
     post_nms_thresh: float = 0.3   # reference fcos.py:635
     max_detections: int = 64       # static detection budget (pad + validity mask)
+    # Space-to-depth stem transform (mathematically exact; nn/resnet.py
+    # StemConv). Measured on v5e-1: NO gain over the plain stem (448 vs
+    # 451 fps parity profile — XLA already lowers the 7x7/s2 stem well), so
+    # default OFF; kept as a tested option for other hardware generations.
+    s2d_stem: bool = False
 
 
 @dataclass(frozen=True)

@@ -178,6 +178,7 @@ class FCOS(nn.Module):
                  ) -> Dict[str, jnp.ndarray]:
         """images: ``[B, H, W, 3]`` already resized+normalized (see preprocess)."""
         feats = resnet34(norm=self.backbone_norm, dtype=self.dtype,
+                         s2d_stem=self.cfg.s2d_stem,
                          name="backbone")(images, train=train)
         pyramid = FPN(out_channels=self.cfg.fpn_channels, dtype=self.dtype,
                       name="fpn")([feats["c3"], feats["c4"], feats["c5"]])
@@ -208,14 +209,22 @@ def preprocess(images: jnp.ndarray, cfg: FCOSConfig) -> Tuple[jnp.ndarray, Tuple
     if (new_h, new_w) == (h, w):
         # native operating point: no resample at all
         resized = (images - mean) / std
-    else:
-        resized = jax.image.resize(images, (b, new_h, new_w, 3),
-                                   method="bilinear")
-        resized = (resized - mean) / std
-    if (new_h, new_w) == (cfg.image_h, cfg.image_w):
-        return resized, (new_h / h, new_w / w)
-    padded = jnp.zeros((b, cfg.image_h, cfg.image_w, 3), images.dtype)
-    padded = jax.lax.dynamic_update_slice(padded, resized, (0, 0, 0, 0))
+        if (new_h, new_w) == (cfg.image_h, cfg.image_w):
+            return resized, (new_h / h, new_w / w)
+        padded = jnp.zeros((b, cfg.image_h, cfg.image_w, 3), images.dtype)
+        padded = jax.lax.dynamic_update_slice(padded, resized, (0, 0, 0, 0))
+        return padded, (new_h / h, new_w / w)
+    # Separable matmul resize with the batch-pad fused in as zero rows/cols
+    # (ops/resize.py): rides the MXU instead of jax.image.resize's gathers —
+    # measured 28.6 -> ~4 ms/batch at the parity profile (profile_parity).
+    # Normalize BEFORE resizing: the weight rows sum to 1 inside the valid
+    # region (affine ops commute with the resize there) and to 0 in the pad
+    # region (which therefore stays exactly zero, as before).
+    from handnet_tpu.ops.resize import resize_bilinear_matmul
+
+    normalized = (images - mean) / std
+    padded = resize_bilinear_matmul(normalized, new_h, new_w,
+                                    padded_hw=(cfg.image_h, cfg.image_w))
     return padded, (new_h / h, new_w / w)
 
 

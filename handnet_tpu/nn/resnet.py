@@ -22,6 +22,7 @@ from functools import partial
 from typing import Any, Callable, Dict, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 ModuleDef = Any
@@ -132,6 +133,47 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class StemConv(nn.Module):
+    """The 7x7/stride-2 resnet stem, optionally computed via space-to-depth.
+
+    The plain 7x7 s2 conv on 3 channels runs far below MXU peak (tiny input
+    channel count, strided access). The classic TPU transform (MLPerf
+    resnet): 2x2 space-to-depth the input ([H,W,3] -> [H/2,W/2,12]) and run
+    a stride-1 4x4 conv whose kernel is the original 7x7 zero-padded to 8x8
+    and re-blocked — MATHEMATICALLY IDENTICAL outputs (asserted by
+    tests/test_ops_misc.py::test_s2d_stem_equivalence), same parameter
+    ("kernel", [7,7,in,width]) so checkpoints/converters are unaffected.
+    Requires even H,W; falls back to the plain conv otherwise.
+    """
+
+    width: int
+    dtype: Any = jnp.float32
+    s2d: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, in_ch, self.width))
+        kernel = kernel.astype(self.dtype)
+        b, h, w, _ = x.shape
+        dn = ("NHWC", "HWIO", "NHWC")
+        if not self.s2d or h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
+        # out[i] = sum_{d=0..7} k8[d] x[2i+d-4] with k8 = left/top-zero-padded
+        # kernel; grouping d = 2t+r maps onto 4 taps over 2x2 pixel blocks
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k8 = k8.reshape(4, 2, 4, 2, in_ch, self.width)
+        k8 = k8.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * in_ch,
+                                                    self.width)
+        xs = x.reshape(b, h // 2, 2, w // 2, 2, in_ch)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2,
+                                                    4 * in_ch)
+        return jax.lax.conv_general_dilated(
+            xs, k8, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn)
+
+
 class ResNet(nn.Module):
     """Generic ResNet trunk returning the pyramid {c1..c5} as a dict.
 
@@ -146,13 +188,14 @@ class ResNet(nn.Module):
     stage_dilations: Tuple[int, int, int, int] = (1, 1, 1, 1)
     norm: str = "batch"
     dtype: Any = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         norm = make_norm(self.norm, self.dtype)
         x = x.astype(self.dtype)
-        x = nn.Conv(self.width, (7, 7), strides=2, padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        x = StemConv(self.width, dtype=self.dtype, s2d=self.s2d_stem,
+                     name="conv1")(x)
         x = _call_norm(norm(name="bn1"), x, train)
         x = nn.relu(x)
         feats = {"c1": x}

@@ -202,3 +202,75 @@ def test_align_w_scale_recovers_similarity(rng):
     pred = 2.5 * gt @ q.T + np.array([10.0, -5.0, 3.0])
     aligned = align_w_scale_np(gt, pred)
     np.testing.assert_allclose(aligned, gt, atol=1e-8)
+
+
+def test_matmul_resize_matches_jax_image(rng):
+    """resize_bilinear_matmul == jax.image.resize(bilinear) to fp tolerance,
+    upscale and downscale, plus exact zeros in the fused pad region."""
+    import jax
+    import jax.numpy as jnp
+
+    from handnet_tpu.ops.resize import resize_bilinear_matmul
+
+    img = jnp.asarray(rng.uniform(size=(2, 48, 64, 3)).astype(np.float32))
+    for oh, ow in ((64, 85), (80, 107), (24, 32), (48, 64)):
+        want = jax.image.resize(img, (2, oh, ow, 3), method="bilinear")
+        got = resize_bilinear_matmul(img, oh, ow)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"{oh}x{ow}")
+
+    padded = resize_bilinear_matmul(img, 64, 85, padded_hw=(64, 96))
+    assert padded.shape == (2, 64, 96, 3)
+    np.testing.assert_allclose(
+        np.asarray(padded[:, :, :85]),
+        np.asarray(jax.image.resize(img, (2, 64, 85, 3), method="bilinear")),
+        rtol=1e-4, atol=1e-5)
+    assert float(np.abs(np.asarray(padded[:, :, 85:])).max()) == 0.0
+
+
+def test_preprocess_matmul_resize_semantics(rng):
+    """preprocess keeps its contract after the matmul-resize swap: same
+    values as normalize(jax.image.resize(...)) in the valid region, exact
+    zeros in the pad."""
+    import jax
+    import jax.numpy as jnp
+
+    from handnet_tpu.config import FCOSConfig
+    from handnet_tpu.models.fcos import preprocess
+
+    cfg = FCOSConfig(num_classes=2, image_h=64, image_w=96)
+    imgs = jnp.asarray(rng.uniform(size=(2, 48, 64, 3)).astype(np.float32))
+    out, scale = preprocess(imgs, cfg)
+    assert out.shape == (2, 64, 96, 3)
+    np.testing.assert_allclose(scale, (64 / 48, 85 / 64), rtol=1e-6)
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    want = (np.asarray(jax.image.resize(imgs, (2, 64, 85, 3),
+                                        method="bilinear")) - mean) / std
+    np.testing.assert_allclose(np.asarray(out[:, :, :85]), want,
+                               rtol=1e-3, atol=1e-4)
+    assert float(np.abs(np.asarray(out[:, :, 85:])).max()) == 0.0
+
+
+def test_s2d_stem_equivalence(rng):
+    """Space-to-depth stem == plain 7x7/s2 conv with the SAME parameters
+    (the transform is a pure compute-layout change)."""
+    import jax
+    import jax.numpy as jnp
+
+    from handnet_tpu.nn.resnet import StemConv
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)).astype(np.float32))
+    plain = StemConv(width=16, s2d=False)
+    fast = StemConv(width=16, s2d=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    a = plain.apply(variables, x)
+    b = fast.apply(variables, x)
+    assert a.shape == b.shape == (2, 32, 48, 16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    # odd sizes fall back to the plain path
+    x_odd = jnp.asarray(rng.normal(size=(1, 63, 96, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(fast.apply(variables, x_odd)),
+                               np.asarray(plain.apply(variables, x_odd)),
+                               rtol=1e-5, atol=1e-5)
