@@ -136,8 +136,9 @@ def main():
     except Exception as e:  # submodule surgery is best-effort attribution
         print(f"  (submodule breakdown unavailable: {e})")
 
-    # decode + NMS
-    scale = (cfg.fcos.image_h / 480, cfg.fcos.image_h / 480)
+    # decode + NMS (scale only affects box values, not timing shapes)
+    s = min(cfg.fcos.image_h / 480, cfg.fcos.image_w / 640)
+    scale = (s, s)
     dec = jax.jit(lambda h: decode_detections(h, det.anchors, cfg.fcos,
                                               scale_to_original=scale))
     t_dec, _ = timed(dec, head, iters=args.iters)
