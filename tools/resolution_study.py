@@ -43,9 +43,10 @@ from handnet_tpu.train.trainer import FCOSTrainer
 
 
 def train_and_eval(ds, train_idx, test_idx, info, image_h, image_w, steps,
-                   batch):
+                   batch, num_convs: int = 4):
     fcfg = FCOSConfig(num_classes=2, ext=False, image_h=image_h,
-                      image_w=image_w, max_detections=8)
+                      image_w=image_w, max_detections=8,
+                      num_convs=num_convs)
     trainer = FCOSTrainer(fcfg, TrainConfig(bf16=True, lr=5e-4,
                                             optimizer="adamw"),
                           steps_per_epoch=100, milestones_epochs=(100,),
@@ -114,7 +115,7 @@ def train_and_eval(ds, train_idx, test_idx, info, image_h, image_w, steps,
 
     coco = CocoDetEvaluator(annos).evaluate(dets, ["hand"] * len(dets))
     return {
-        "resolution": f"{image_h}x{image_w}",
+        "resolution": f"{image_h}x{image_w}@nc{num_convs}",
         "train_seconds": round(train_s, 1),
         "final_loss": round(last, 4),
         "found_rate": round(found / len(test_idx), 4),
@@ -132,7 +133,10 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=500)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--resolutions", nargs="+",
-                        default=["512x640", "800x1088"])
+                        default=["512x640", "800x1088"],
+                        help="HxW or HxW@ncN (N = tower num_convs, "
+                             "default 4) — e.g. 480x640@nc2 prices the "
+                             "halved-tower 'turbo' design point")
     args = parser.parse_args(argv)
 
     root = tempfile.mkdtemp(prefix="res_study_")
@@ -146,9 +150,13 @@ def main(argv=None):
 
     results = []
     for res in args.resolutions:
+        nc = 4
+        if "@nc" in res:
+            res, nc = res.split("@nc")
+            nc = int(nc)
         h, w = (int(x) for x in res.split("x"))
         results.append(train_and_eval(ds, train_idx, test_idx, info, h, w,
-                                      args.steps, args.batch))
+                                      args.steps, args.batch, num_convs=nc))
         print(json.dumps(results[-1]), flush=True)
     print(json.dumps({"study": results}))
 
