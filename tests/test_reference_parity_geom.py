@@ -15,6 +15,12 @@ only same-author replicas for:
 * dex-ycb-toolkit/freihand/eval.py:71-94  align_w_scale
                                     vs ops/geometry.align_w_scale_np and the
                                     batched on-device align_w_scale
+* manopth/manolayer.py:110-274      the FULL ManoLayer LBS forward
+                                    vs models/mano.ManoLayer — the licensed
+                                    MANO pkl assets are absent, so the
+                                    reference layer is built via __new__ with
+                                    the same random buffers our layer gets
+                                    (the forward math is what's under test)
 
 Reference sources are imported from the read-only mount at test time (never
 copied). Modules whose imports drag in unavailable/heavy deps (open3d,
@@ -122,6 +128,108 @@ def test_rot6d_matches_reference(ref_rot):
     # sanity: proper rotations
     det = np.linalg.det(mine)
     np.testing.assert_allclose(det, 1.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# manopth/manolayer.py full LBS forward
+
+
+@pytest.fixture(scope="module")
+def ref_manolayer():
+    """Import the real manolayer.py; its module-level `from mano.webuser...`
+    import (the chumpy pkl loader, only used by __init__) is stubbed."""
+    _stub("mano")
+    _stub("mano.webuser")
+    _stub("mano.webuser.smpl_handpca_wrapper_HAND_only",
+          ready_arguments=lambda *a, **k: None)
+    pkg = os.path.join(REF, "dex-ycb-toolkit", "manopth")
+    sys.path.insert(0, pkg)
+    try:
+        yield _load("ref_manolayer", "dex-ycb-toolkit/manopth/manopth/"
+                                     "manolayer.py")
+    finally:
+        sys.path.remove(pkg)
+
+
+def _build_ref_mano(mod, assets, mean: np.ndarray, ncomps: int,
+                    center_idx=None):
+    """Instantiate the reference ManoLayer WITHOUT pkl assets: allocate via
+    __new__, then register the exact buffers __init__ would have built
+    (manolayer.py:44-108) from our random ManoAssets."""
+    layer = mod.ManoLayer.__new__(mod.ManoLayer)
+    torch.nn.Module.__init__(layer)
+    layer.center_idx = center_idx
+    layer.robust_rot = False
+    layer.rot = 3
+    layer.flat_hand_mean = False
+    layer.side = assets.side
+    layer.use_pca = True
+    layer.joint_rot_mode = "axisang"
+    layer.root_rot_mode = "axisang"
+    layer.ncomps = ncomps
+    t = torch.from_numpy
+    layer.register_buffer("th_betas", torch.zeros(1, 10))
+    layer.register_buffer("th_shapedirs", t(assets.shapedirs.copy()))
+    layer.register_buffer("th_posedirs", t(assets.posedirs.copy()))
+    layer.register_buffer("th_v_template",
+                          t(assets.v_template.copy()).unsqueeze(0))
+    layer.register_buffer("th_J_regressor", t(assets.J_regressor.copy()))
+    layer.register_buffer("th_weights", t(assets.weights.copy()))
+    layer.register_buffer("th_faces", torch.zeros(4, 3).long())
+    layer.register_buffer("th_hands_mean", t(mean.copy()).unsqueeze(0))
+    layer.register_buffer("th_comps", t(assets.hands_components.copy()))
+    layer.register_buffer("th_selected_comps",
+                          t(assets.hands_components[:ncomps].copy()))
+    layer.kintree_parents = [0] * 16
+    return layer
+
+
+@pytest.mark.parametrize("side", ["right", "left"])
+def test_mano_layer_matches_reference(ref_manolayer, side):
+    from handnet_tpu.models.mano import ManoAssets, ManoLayer
+
+    rng = np.random.default_rng(6 if side == "right" else 7)
+    ncomps = 6
+    base = ManoAssets.synthetic(rng, side=side)
+    # non-trivial PCA basis + hand mean (synthetic() uses identity/zeros)
+    comps = rng.normal(size=(45, 45)).astype(np.float32) * 0.3
+    mean = rng.normal(size=(45,)).astype(np.float32) * 0.1
+    assets = ManoAssets(
+        v_template=base.v_template, shapedirs=base.shapedirs,
+        posedirs=base.posedirs, J_regressor=base.J_regressor,
+        weights=base.weights, hands_components=comps, hands_mean=mean,
+        faces=base.faces, side=side)
+
+    ref = _build_ref_mano(ref_manolayer, assets, mean, ncomps)
+    mine = ManoLayer(assets, ncomps=ncomps, flat_hand_mean=False)
+
+    b = 4
+    pose = rng.normal(size=(b, 3 + ncomps)).astype(np.float32)
+    betas = rng.normal(size=(b, 10)).astype(np.float32) * 0.5
+    trans = rng.normal(size=(b, 3)).astype(np.float32) * 0.1
+
+    with torch.no_grad():
+        ref_v, ref_j = ref(torch.from_numpy(pose), torch.from_numpy(betas),
+                           torch.from_numpy(trans))
+    my_v, my_j = mine(jnp.asarray(pose), jnp.asarray(betas),
+                      jnp.asarray(trans))
+    np.testing.assert_allclose(np.asarray(my_j), ref_j.numpy(),
+                               rtol=1e-4, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(my_v), ref_v.numpy(),
+                               rtol=1e-4, atol=5e-2)
+
+    # model-betas path (th_betas numel==1 -> stored zeros) + center_idx
+    ref_c = _build_ref_mano(ref_manolayer, assets, mean, ncomps,
+                            center_idx=9)
+    mine_c = ManoLayer(assets, ncomps=ncomps, flat_hand_mean=False,
+                       center_idx=9)
+    with torch.no_grad():
+        ref_v, ref_j = ref_c(torch.from_numpy(pose))
+    my_v, my_j = mine_c(jnp.asarray(pose))
+    np.testing.assert_allclose(np.asarray(my_j), ref_j.numpy(),
+                               rtol=1e-4, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(my_v), ref_v.numpy(),
+                               rtol=1e-4, atol=5e-2)
 
 
 # ---------------------------------------------------------------------------
