@@ -51,6 +51,10 @@ class PipelineServer:
       flush_timeout: seconds to wait for more frames before dispatching a
         partial batch (latency/throughput knob).
       out_fields: which pipeline outputs to return per frame.
+      mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis — each
+        microbatch is sharded over it (params replicated), so serving
+        throughput scales with chip count; ``batch_size`` must be a
+        multiple of ``mesh.size``.
     """
 
     def __init__(self, cfg: Optional[HandNetConfig] = None,
@@ -60,9 +64,19 @@ class PipelineServer:
                  out_fields: Iterable[str] = ("joints_uvd", "boxes", "found",
                                               "scores"),
                  dtype: Any = jnp.bfloat16,
-                 quantized_transfer: bool = True):
+                 quantized_transfer: bool = True,
+                 mesh: Optional[Any] = None):
         self.cfg = cfg or HandNetConfig()
         self.batch_size = batch_size
+        # Optional multi-chip serving: batch-shard every microbatch over a
+        # jax.sharding.Mesh "data" axis (params replicated) — serving scales
+        # by adding chips exactly like the training step does. The wire
+        # format/queues are unchanged; XLA handles the host->shards scatter.
+        self.mesh = mesh
+        if mesh is not None and batch_size % mesh.size != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over mesh size "
+                f"{mesh.size}")
         self.frame_hw = frame_hw
         self.flush_timeout = flush_timeout
         self.out_fields = tuple(out_fields)
@@ -83,7 +97,16 @@ class PipelineServer:
             out = self.pipe(v, im, d)
             return {k: o for k, o in out.items() if k in self.out_fields}
 
-        self._fwd = jax.jit(fwd)
+        if mesh is not None:
+            from handnet_tpu.parallel.mesh import (data_sharding,
+                                                   replicate_sharding)
+            repl = replicate_sharding(mesh)
+            data = data_sharding(mesh)
+            self.variables = jax.device_put(self.variables, repl)
+            self._fwd = jax.jit(fwd, in_shardings=(repl, data, data),
+                                out_shardings=data)
+        else:
+            self._fwd = jax.jit(fwd)
         self.inputs: "queue.Queue" = queue.Queue(maxsize=4 * batch_size)
         self.results: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
@@ -167,6 +190,9 @@ class PipelineServer:
         im_dt, d_dt = self._wire_dtypes
         ims = jnp.zeros((self.batch_size, h, w, 3), im_dt)
         ds = jnp.zeros((self.batch_size, h, w), d_dt)
+        if self.mesh is not None:   # pre-stage already sharded
+            from handnet_tpu.parallel.mesh import shard_batch
+            ims, ds = shard_batch(self.mesh, (ims, ds))
         jax.block_until_ready(self._fwd(self.variables, ims, ds))  # compile
         pending: deque = deque()
         t0 = time.perf_counter()
@@ -216,8 +242,8 @@ class PipelineServer:
         for i, (_, _, rgb, dep) in enumerate(items):
             images[i] = rgb
             depths[i] = dep
-        out = self._fwd(self.variables, jnp.asarray(images),
-                        jnp.asarray(depths))      # async dispatch
+        # numpy in: jit transfers (and, under a mesh, shards) asynchronously
+        out = self._fwd(self.variables, images, depths)
         meta = [(sid, fid) for sid, fid, _, _ in items]
         return out, meta, n
 
@@ -262,6 +288,9 @@ def main(argv=None):
     parser.add_argument("--compute-only", action="store_true",
                         help="also print the device-staged compute ceiling "
                              "(no host transfer) for overhead attribution")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="shard each microbatch over this many devices "
+                             "(0 = single device)")
     args = parser.parse_args(argv)
 
     import os
@@ -271,7 +300,11 @@ def main(argv=None):
         os.path.abspath(__file__))))
     cfg = load_config(yaml_path=os.path.join(repo, "configs",
                                              f"{args.profile}.yaml"))
-    server = PipelineServer(cfg, batch_size=args.batch)
+    mesh = None
+    if args.mesh:
+        from handnet_tpu.parallel.mesh import create_mesh
+        mesh = create_mesh(args.mesh)
+    server = PipelineServer(cfg, batch_size=args.batch, mesh=mesh)
     if args.compute_only:
         ceiling = server.compute_fps_probe(
             n_batches=max(args.frames // args.batch, 4))

@@ -28,6 +28,33 @@ def test_parity_profile_loads():
     assert cfg.pipeline.crop_size == 176
 
 
+def test_turbo_profile_loads():
+    cfg = load_config(yaml_path=os.path.join(CONFIGS, "turbo.yaml"))
+    # fast geometry, halved head towers (NOT the reference model —
+    # from-scratch training only; see configs/turbo.yaml)
+    assert (cfg.fcos.image_h, cfg.fcos.image_w) == (480, 640)
+    assert cfg.fcos.num_convs == 2
+    assert cfg.fcos.num_classes == 3 and not cfg.fcos.ext
+
+
+def test_turbo_tower_depth_is_honored():
+    """FCOS params must carry exactly num_convs tower convs under turbo."""
+    import jax
+    import jax.numpy as jnp
+
+    from handnet_tpu.models.fcos import FCOSSystem
+
+    cfg = load_config(yaml_path=os.path.join(CONFIGS, "turbo.yaml"),
+                      overrides={"fcos": {"image_h": 64, "image_w": 96}})
+    sys_ = FCOSSystem(cfg.fcos, dtype=jnp.float32)
+    variables = sys_.init(jax.random.PRNGKey(0))
+    head = variables["params"]["head"]
+    cls_convs = [k for k in head["cls_tower"] if k.startswith("conv")]
+    assert len(cls_convs) == cfg.fcos.num_convs == 2
+    out = sys_.detect(variables, jnp.zeros((1, 64, 96, 3)))
+    assert out["boxes"].shape[-1] == 4
+
+
 def test_profiles_differ_only_where_documented():
     fast = load_config(yaml_path=os.path.join(CONFIGS, "fast.yaml"))
     parity = load_config(yaml_path=os.path.join(CONFIGS, "parity.yaml"))
