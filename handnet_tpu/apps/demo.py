@@ -164,11 +164,21 @@ def main(argv=None):
             "side": int(np.asarray(out["sides"][0])),
         }
         if args.flip_left and frame_result["found"]:
-            # mirror crop box + u coordinates back to the original frame
+            # mirror crop box + u coordinates back to the original frame,
+            # then recompute xyz from the un-mirrored geometry so the saved
+            # (box, joints_uvd, joints_xyz) triple is self-consistent
             w = rgb.shape[1]
             x1, y1, x2, y2 = frame_result["box"]
             frame_result["box"] = np.array([w - 1 - x2, y1, w - 1 - x1, y2],
                                            np.float32)
+            crop = cfg.pipeline.crop_size
+            uvd = frame_result["joints_uvd"].copy()
+            uvd[:, 0] = crop - uvd[:, 0]
+            frame_result["joints_uvd"] = uvd
+            from handnet_tpu.ops.geometry import convert_joints
+            frame_result["joints_xyz"] = np.asarray(convert_joints(
+                uvd[None], frame_result["box"][None],
+                np.asarray(args.paras, np.float32)[None], crop, crop))[0]
         if mesh_fn is not None and frame_result["found"]:
             uv = frame_result["joints_uvd"][:, :2]
             frame_result["mesh"] = mesh_fn(uv)

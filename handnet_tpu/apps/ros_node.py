@@ -127,6 +127,13 @@ class HandNetRosNode:
 
     def on_depth(self, stamp: float, depth: np.ndarray,
                  encoding: str = "32FC1") -> None:
+        if (encoding == "16UC1"
+                and getattr(self.server, "quantized_transfer", False)):
+            # 16UC1 IS the server's uint16-mm wire format: pass through
+            # untouched instead of mm->float32-m here and float32->mm again
+            # in submit (2 full-frame converts + a 4x larger sync buffer)
+            self.sync.add(1, stamp, np.asarray(depth, np.uint16))
+            return
         try:
             depth_m = decode_depth(depth, encoding)
         except ValueError:
@@ -149,13 +156,23 @@ class HandNetRosNode:
         import queue as _q
 
         n = 0
-        while True:
+        processed = 0
+        limit = None
+        while limit is None or processed < limit:
             try:
                 sid, fid, out = self.server.get(
-                    timeout=timeout if n == 0 else 0.0)
+                    timeout=timeout if processed == 0 else 0.0)
             except _q.Empty:
-                return n
+                break
+            if limit is None:
+                # bound this pass to what was queued when it started, so
+                # re-queued foreign results aren't popped again in a spin
+                limit = 1 + self.server.results.qsize()
+            processed += 1
             if sid != self.stream_id:
+                # another node's stream on the shared server: put it back
+                # for its owner instead of dropping it
+                self.server.results.put((sid, fid, out))
                 continue
             with self._lock:
                 stamp = self._meta.pop(fid, None)
@@ -172,6 +189,7 @@ class HandNetRosNode:
                     self.server.cfg.pipeline.crop_size))[0]
             self.publish("hand_pose", payload)
             n += 1
+        return n
 
 
 def run_rclpy(argv=None):  # pragma: no cover - needs a ROS 2 environment

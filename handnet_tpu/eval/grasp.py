@@ -80,11 +80,24 @@ def panda_gripper_pc(n_points: int = 256, seed: int = 0) -> np.ndarray:
     areas = np.array([f[3] for f in faces])
     counts = np.maximum(
         np.round(areas / areas.sum() * n_points).astype(int), 1)
+    # rounding can under-/overshoot n_points: top up the largest faces /
+    # trim the smallest so the [n, 3] contract holds exactly
+    order = np.argsort(-areas)
+    i = 0
+    while counts.sum() < n_points:
+        counts[order[i % len(order)]] += 1
+        i += 1
+    while counts.sum() > n_points and counts.max() > 1:
+        j = order[::-1][i % len(order)]
+        if counts[j] > 1:
+            counts[j] -= 1
+        i += 1
     pts = []
     for (origin, eu, ev, _), k in zip(faces, counts):
         uv = rng.uniform(-1.0, 1.0, size=(k, 2))
         pts.append(origin + uv[:, :1] * eu + uv[:, 1:] * ev)
-    return np.concatenate(pts)[:n_points] if n_points else np.concatenate(pts)
+    # n_points below the 18-face minimum: slice the 1-per-face sample
+    return np.concatenate(pts)[:n_points]
 
 
 def solid_penetration_sphere(grasp_tf: np.ndarray, center: np.ndarray,

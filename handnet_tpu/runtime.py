@@ -52,20 +52,30 @@ def setup(cache_dir: Optional[str] = None,
             os.environ.get("COORDINATOR_ADDRESS")
             or os.environ.get("JAX_COORDINATOR_ADDRESS")
             or os.environ.get("HANDNET_DISTRIBUTED"))
-    if distributed and not _distributed_initialized():
-        # coordinator/process env comes from the launcher (GKE/TPU-VM set
-        # these; explicit COORDINATOR_ADDRESS + PROCESS_ID work anywhere)
-        jax.distributed.initialize()
+    global _distributed_done
+    if distributed and not _distributed_done:
+        # Coordinator/process env comes from the launcher. jax's own
+        # auto-detect covers TPU pods / Slurm / OMPI; the explicit
+        # COORDINATOR_ADDRESS + PROCESS_ID (+ NUM_PROCESSES) triple works
+        # anywhere and is forwarded here (jax only reads
+        # JAX_COORDINATOR_ADDRESS from env on its own).
+        kwargs = {}
+        addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("COORDINATOR_ADDRESS"))
+        if addr:
+            kwargs["coordinator_address"] = addr
+        if os.environ.get("PROCESS_ID"):
+            kwargs["process_id"] = int(os.environ["PROCESS_ID"])
+        if os.environ.get("NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["NUM_PROCESSES"])
+        jax.distributed.initialize(**kwargs)
+        # own flag, set only after success: every entry point calls setup()
+        # at import, and a second jax.distributed.initialize() raises once
+        # the backend is live (jax exposes no public "is initialized" probe)
+        _distributed_done = True
 
 
-def _distributed_initialized() -> bool:
-    import jax
-
-    try:
-        state = jax.distributed.global_state
-        return state.client is not None
-    except Exception:
-        return False
+_distributed_done = False
 
 
 def process_shard() -> "tuple[int, int]":

@@ -104,7 +104,8 @@ def test_runtime_multihost_hooks(monkeypatch):
 
     calls = []
     monkeypatch.setattr(jax.distributed, "initialize",
-                        lambda *a, **k: calls.append(1))
+                        lambda **k: calls.append(k))
+    monkeypatch.setattr(runtime, "_distributed_done", False)
     monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     monkeypatch.delenv("HANDNET_DISTRIBUTED", raising=False)
@@ -115,7 +116,19 @@ def test_runtime_multihost_hooks(monkeypatch):
     assert calls == []
     monkeypatch.setenv("HANDNET_DISTRIBUTED", "1")
     runtime.setup()                      # coordinator env -> initialize
-    assert calls == [1]
+    assert calls == [{}]
+    runtime.setup()                      # idempotent: every entry point
+    assert calls == [{}]                 # calls setup() at import
+
+    # the explicit triple is forwarded (jax env-reads only
+    # JAX_COORDINATOR_ADDRESS on its own)
+    monkeypatch.setattr(runtime, "_distributed_done", False)
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("PROCESS_ID", "3")
+    monkeypatch.setenv("NUM_PROCESSES", "8")
+    runtime.setup()
+    assert calls[-1] == {"coordinator_address": "10.0.0.1:1234",
+                         "process_id": 3, "num_processes": 8}
 
     sid, n = runtime.process_shard()
     assert (sid, n) == (0, 1)            # single-process in tests
