@@ -12,6 +12,9 @@ Operating points live in configs/ and are selected with PROFILE:
   PROFILE=parity detector at 800x1088, replicating the reference's
                  GeneralizedRCNNTransform min-800 resize. batch 128
                  (throughput knee, tools/perf_probe.py).
+  PROFILE=turbo / PROFILE=quant: opt-in reduced-FLOP / int8 points
+                 (configs/*.yaml). QUANT=1 composes the int8 conv path
+                 onto any profile.
 Both run the detector with num_classes=3, ext=False, matching the reference
 pipeline's load_pretrained_fcos (handnet_pipeline/handnet_pipeline.py:14-24).
 
@@ -40,6 +43,13 @@ def main():
     profile = os.environ.get("PROFILE", "fast")
     cfg = load_config(yaml_path=os.path.join(_REPO, "configs",
                                              f"{profile}.yaml"))
+    if os.environ.get("QUANT") == "1":
+        # compose the dynamic-int8 serving path (nn/quant.py) onto any
+        # profile, e.g. QUANT=1 PROFILE=parity measures the reference
+        # geometry with int8 convs
+        cfg = load_config({"fcos": {"quant": True}, "a2j": {"quant": True}},
+                          yaml_path=os.path.join(_REPO, "configs",
+                                                 f"{profile}.yaml"))
     batch = cfg.train.batch_size
 
     pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)

@@ -44,13 +44,16 @@ class A2JHead(nn.Module):
     features: int = 256
     norm: str = "batch"
     dtype: Any = jnp.float32
+    quant: bool = False  # int8 tower convs; the output conv stays float
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from handnet_tpu.nn.quant import conv_layer
+
         norm = make_norm(self.norm, self.dtype)
         for i in range(4):
-            x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
-                        name=f"conv{i + 1}")(x)
+            x = conv_layer(self.quant, self.features, (3, 3), padding=1,
+                           dtype=self.dtype, name=f"conv{i + 1}")(x)
             x = _call_norm(norm(name=f"bn{i + 1}"), x, train)
             x = nn.relu(x)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -83,7 +86,7 @@ class A2J(nn.Module):
             # (reference a2j/a2j.py:197-199)
             x = jnp.repeat(x, 3, axis=-1)
         backbone = resnet50_dilated(norm=self.norm, dtype=self.dtype,
-                                    name="backbone")
+                                    quant=cfg.quant, name="backbone")
         feats = backbone(x, train=train)
         x3, x4 = feats["c4"], feats["c5"]  # both stride 16 (dilated layer4)
 
@@ -92,16 +95,16 @@ class A2J(nn.Module):
         b = x.shape[0]
 
         cls = A2JHead(a * p, cfg.head_features, self.norm, self.dtype,
-                      name="classification")(x3, train=train)
+                      quant=cfg.quant, name="classification")(x3, train=train)
         reg = A2JHead(a * p * 2, cfg.head_features, self.norm, self.dtype,
-                      name="regression")(x4, train=train)
+                      quant=cfg.quant, name="regression")(x4, train=train)
         out = {
             "cls": cls.reshape(b, -1, p),
             "reg": reg.reshape(b, -1, p, 2),
         }
         if cfg.is_3d:
             depth = A2JHead(a * p, cfg.head_features, self.norm, self.dtype,
-                            name="depth")(x4, train=train)
+                            quant=cfg.quant, name="depth")(x4, train=train)
             out["depth"] = depth.reshape(b, -1, p)
         return out
 

@@ -44,12 +44,15 @@ class ConvTower(nn.Module):
     channels: int
     num_convs: int = 4
     dtype: Any = jnp.float32
+    quant: bool = False  # dynamic-int8 convs (nn/quant.py)
 
     @nn.compact
     def __call__(self, x):
+        from handnet_tpu.nn.quant import conv_layer
+
         for i in range(self.num_convs):
-            x = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
-                        name=f"conv{i}")(x)
+            x = conv_layer(self.quant, self.channels, (3, 3), padding=1,
+                           dtype=self.dtype, name=f"conv{i}")(x)
             # use_fast_variance=False: the E[x^2]-E[x]^2 form can go negative
             # under fp cancellation once activations grow, and rsqrt(neg)
             # NaNs the gradient mid-training (observed at ~step 80)
@@ -89,8 +92,12 @@ class FCOSHead(nn.Module):
 
     def setup(self):
         c = self.cfg.fpn_channels
-        self.cls_tower = ConvTower(c, self.cfg.num_convs, self.dtype)
-        self.reg_tower = ConvTower(c, self.cfg.num_convs, self.dtype)
+        # towers carry the head's FLOPs and take the quant path; the final
+        # prediction convs below stay float (tiny FLOPs, accuracy-critical)
+        self.cls_tower = ConvTower(c, self.cfg.num_convs, self.dtype,
+                                   quant=self.cfg.quant)
+        self.reg_tower = ConvTower(c, self.cfg.num_convs, self.dtype,
+                                   quant=self.cfg.quant)
         prior = self.cfg.prior_prob
         bias_init = nn.initializers.constant(
             -float(np.log((1.0 - prior) / prior)))
@@ -178,9 +185,10 @@ class FCOS(nn.Module):
                  ) -> Dict[str, jnp.ndarray]:
         """images: ``[B, H, W, 3]`` already resized+normalized (see preprocess)."""
         feats = resnet34(norm=self.backbone_norm, dtype=self.dtype,
-                         s2d_stem=self.cfg.s2d_stem,
+                         s2d_stem=self.cfg.s2d_stem, quant=self.cfg.quant,
                          name="backbone")(images, train=train)
         pyramid = FPN(out_channels=self.cfg.fpn_channels, dtype=self.dtype,
+                      quant=self.cfg.quant,
                       name="fpn")([feats["c3"], feats["c4"], feats["c5"]])
         return FCOSHead(cfg=self.cfg, dtype=self.dtype, name="head")(pyramid)
 

@@ -14,6 +14,8 @@ from typing import Any, List, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from handnet_tpu.nn.quant import conv_layer
+
 
 def _upsample_nearest_2x(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Nearest upsample to an exact target size (handles odd feature maps).
@@ -30,13 +32,14 @@ def _upsample_nearest_2x(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 class FPN(nn.Module):
     out_channels: int = 256
     dtype: Any = jnp.float32
+    quant: bool = False  # dynamic-int8 convs (nn/quant.py)
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
         """features: bottom-up maps ordered fine->coarse (e.g. [c3, c4, c5])."""
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                    name=f"lateral_{i}")(f)
+            conv_layer(self.quant, self.out_channels, (1, 1), dtype=self.dtype,
+                       name=f"lateral_{i}")(f)
             for i, f in enumerate(features)
         ]
         # top-down pathway
@@ -46,7 +49,7 @@ class FPN(nn.Module):
                                       laterals[i].shape[-2])
             out.insert(0, laterals[i] + up)
         return [
-            nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name=f"output_{i}")(o)
+            conv_layer(self.quant, self.out_channels, (3, 3), padding=1,
+                       dtype=self.dtype, name=f"output_{i}")(o)
             for i, o in enumerate(out)
         ]

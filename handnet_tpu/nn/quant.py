@@ -1,0 +1,119 @@
+"""Dynamic int8 convolution — the opt-in quantized serving path.
+
+v5e executes int8 x int8 -> int32 matmuls/convs at 2x the bf16 TOPs
+(394 vs 197 peak). Measured on a tower-shaped 3x3 conv (tools/int8_probe.py,
+readback-clocked): bf16 119.6 TFLOP/s vs int8 200.5 TOP/s — a 1.68x kernel
+speedup, which matters because both shipped profiles are FLOP-bound at ~76%
+MFU (ROUND3_NOTES perf attribution).
+
+:class:`QuantConv` is a drop-in ``nn.Conv`` substitute with the IDENTICAL
+parameter tree ("kernel" ``[Kh,Kw,Cin,Cout]`` fp32 + optional "bias"), so
+checkpoints, converters (convert/torch_weights.py) and trainers are
+untouched: train in bf16/fp32, then *serve* the same params with
+``quant=True`` configs. Quantization is dynamic (no calibration pass):
+
+* weights: symmetric per-output-channel, ``sw[o] = max|w[..,o]| / 127``
+  (quantized once per call; XLA hoists it since params are loop-invariant);
+* activations: symmetric per-sample, ``sx[b] = max|x[b]| / 127`` — each
+  sample's conv is independent, so per-sample scales dequantize exactly and
+  one outlier frame cannot crush the whole batch's resolution;
+* accumulation in int32 (``preferred_element_type``), dequantized by
+  ``sx[b] * sw[o]`` in the conv epilogue (XLA fuses it).
+
+This file has no reference counterpart — the reference serves fp32/AMP
+(CUDA); int8 serving is a TPU-first addition priced by the synthetic study
+(tools/resolution_study.py ``@q`` spec) like the fast/turbo points.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+PaddingLike = Union[str, int, Sequence[Tuple[int, int]]]
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return (v, v)
+
+
+def _norm_padding(padding: PaddingLike, kernel_size: Tuple[int, int],
+                  kernel_dilation: Tuple[int, int]) -> Sequence[Tuple[int, int]]:
+    if isinstance(padding, str):
+        if padding.upper() == "SAME":
+            pads = []
+            for k, d in zip(kernel_size, kernel_dilation):
+                eff = (k - 1) * d + 1
+                lo = (eff - 1) // 2
+                pads.append((lo, eff - 1 - lo))
+            return pads
+        if padding.upper() == "VALID":
+            return [(0, 0), (0, 0)]
+        raise ValueError(f"unsupported padding {padding!r}")
+    if isinstance(padding, int):
+        return [(padding, padding), (padding, padding)]
+    return [tuple(p) for p in padding]
+
+
+def quantize_symmetric(x: jnp.ndarray, axes) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 quantization: returns (q, scale) with x ~= q * scale.
+
+    ``axes`` are the axes reduced away when computing the amax; the returned
+    scale keeps those axes as size-1 for broadcasting.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+class QuantConv(nn.Module):
+    """``nn.Conv``-compatible dynamic-int8 convolution (inference path).
+
+    Same constructor surface as the subset of ``nn.Conv`` used in this
+    package and the same parameter shapes/names; see module docstring.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: PaddingLike = "SAME"
+    kernel_dilation: Union[int, Tuple[int, int]] = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ksize = _pair(self.kernel_size)
+        dilation = _pair(self.kernel_dilation)
+        kernel = self.param("kernel", self.kernel_init,
+                            (*ksize, x.shape[-1], self.features), jnp.float32)
+        wq, sw = quantize_symmetric(kernel, axes=(0, 1, 2))  # sw [1,1,1,Cout]
+        xq, sx = quantize_symmetric(x, axes=(1, 2, 3))       # sx [B,1,1,1]
+        acc = jax.lax.conv_general_dilated(
+            xq, wq, window_strides=_pair(self.strides),
+            padding=_norm_padding(self.padding, ksize, dilation),
+            rhs_dilation=dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (sx * sw.reshape(1, 1, 1, -1))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              jnp.float32)
+            out = out + bias
+        return out.astype(self.dtype)
+
+
+def conv_layer(quant: bool, *args, **kwargs):
+    """``nn.Conv`` or :class:`QuantConv` with the same arguments."""
+    if quant:
+        return QuantConv(*args, **kwargs)
+    return nn.Conv(*args, **kwargs)

@@ -25,6 +25,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from handnet_tpu.nn.quant import conv_layer
+
 ModuleDef = Any
 
 
@@ -80,23 +82,25 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     norm: Callable[..., nn.Module] = nn.BatchNorm
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = nn.Conv(self.features, (3, 3), strides=self.strides,
-                    padding=self.dilation, kernel_dilation=self.dilation,
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = conv_layer(self.quant, self.features, (3, 3), strides=self.strides,
+                       padding=self.dilation, kernel_dilation=self.dilation,
+                       use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = _call_norm(self.norm(name="bn1"), y, train)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=self.dilation,
-                    kernel_dilation=self.dilation, use_bias=False,
-                    dtype=self.dtype, name="conv2")(y)
+        y = conv_layer(self.quant, self.features, (3, 3), padding=self.dilation,
+                       kernel_dilation=self.dilation, use_bias=False,
+                       dtype=self.dtype, name="conv2")(y)
         y = _call_norm(self.norm(name="bn2"), y, train)
         if residual.shape != y.shape:
-            residual = nn.Conv(self.features, (1, 1), strides=self.strides,
-                               use_bias=False, dtype=self.dtype,
-                               name="downsample_conv")(x)
+            residual = conv_layer(self.quant, self.features, (1, 1),
+                                  strides=self.strides,
+                                  use_bias=False, dtype=self.dtype,
+                                  name="downsample_conv")(x)
             residual = _call_norm(self.norm(name="downsample_bn"), residual, train)
         return nn.relu(y + residual)
 
@@ -107,28 +111,30 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     norm: Callable[..., nn.Module] = nn.BatchNorm
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = conv_layer(self.quant, self.features, (1, 1), use_bias=False,
+                       dtype=self.dtype, name="conv1")(x)
         y = _call_norm(self.norm(name="bn1"), y, train)
         y = nn.relu(y)
         # stride on the 3x3 (torchvision v1.5+ "stride-on-3x3" convention,
         # matching a2j/resnet.py:40-52)
-        y = nn.Conv(self.features, (3, 3), strides=self.strides,
-                    padding=self.dilation, kernel_dilation=self.dilation,
-                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = conv_layer(self.quant, self.features, (3, 3), strides=self.strides,
+                       padding=self.dilation, kernel_dilation=self.dilation,
+                       use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = _call_norm(self.norm(name="bn2"), y, train)
         y = nn.relu(y)
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
-                    dtype=self.dtype, name="conv3")(y)
+        y = conv_layer(self.quant, self.features * 4, (1, 1), use_bias=False,
+                       dtype=self.dtype, name="conv3")(y)
         y = _call_norm(self.norm(name="bn3"), y, train)
         if residual.shape != y.shape:
-            residual = nn.Conv(self.features * 4, (1, 1), strides=self.strides,
-                               use_bias=False, dtype=self.dtype,
-                               name="downsample_conv")(x)
+            residual = conv_layer(self.quant, self.features * 4, (1, 1),
+                                  strides=self.strides,
+                                  use_bias=False, dtype=self.dtype,
+                                  name="downsample_conv")(x)
             residual = _call_norm(self.norm(name="downsample_bn"), residual, train)
         return nn.relu(y + residual)
 
@@ -189,6 +195,10 @@ class ResNet(nn.Module):
     norm: str = "batch"
     dtype: Any = jnp.float32
     s2d_stem: bool = False
+    # dynamic-int8 conv path for the residual blocks (nn/quant.py). The stem
+    # stays float: 3 input channels carry ~0.5% of the FLOPs and the first
+    # layer is the most quantization-sensitive.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -215,6 +225,7 @@ class ResNet(nn.Module):
                     dilation=dilation,
                     norm=norm,
                     dtype=self.dtype,
+                    quant=self.quant,
                     name=f"layer{i + 1}_{j}",
                 )(x, train=train)
             feats[f"c{i + 2}"] = x

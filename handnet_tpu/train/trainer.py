@@ -14,6 +14,7 @@ trainval_net_a2j.py / a2j/a2j.py:252-366 — with two small explicit trainers:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -73,6 +74,10 @@ class A2JTrainer:
                  mesh: Optional[Mesh] = None,
                  steps_per_epoch: int = 1000):
         self.model_cfg = model_cfg or A2JConfig()
+        if self.model_cfg.quant:
+            # int8 is a serving-only path (round() has no useful gradient);
+            # train full-precision, serve the same params with quant on
+            self.model_cfg = dataclasses.replace(self.model_cfg, quant=False)
         self.train_cfg = train_cfg or TrainConfig()
         dtype = jnp.bfloat16 if self.train_cfg.bf16 else jnp.float32
         # plain BatchNorm is correct under pjit DP too: the batch mean/var
@@ -164,6 +169,9 @@ class FCOSTrainer:
         no normalization at all, and box regression converges far worse
         (observed on the synthetic task: held-out IoU ~0.26)."""
         self.model_cfg = model_cfg or FCOSConfig()
+        if self.model_cfg.quant:
+            # serving-only path — see A2JTrainer
+            self.model_cfg = dataclasses.replace(self.model_cfg, quant=False)
         self.train_cfg = train_cfg or TrainConfig()
         dtype = jnp.bfloat16 if self.train_cfg.bf16 else jnp.float32
         self.system = FCOSSystem(self.model_cfg, backbone_norm=backbone_norm,

@@ -43,7 +43,10 @@ from handnet_tpu.train.trainer import FCOSTrainer
 
 
 def train_and_eval(ds, train_idx, test_idx, info, image_h, image_w, steps,
-                   batch, num_convs: int = 4):
+                   batch, num_convs: int = 4, quant_eval: bool = False):
+    """``quant_eval``: train full-precision as always, then run the held-out
+    eval through the dynamic-int8 serving path (nn/quant.py) on the SAME
+    trained params — pricing the quant profile's accuracy cost."""
     fcfg = FCOSConfig(num_classes=2, ext=False, image_h=image_h,
                       image_w=image_w, max_detections=8,
                       num_convs=num_convs)
@@ -84,7 +87,8 @@ def train_and_eval(ds, train_idx, test_idx, info, image_h, image_w, steps,
 
     import cv2
 
-    system = FCOSSystem(dataclasses.replace(fcfg, score_thresh=0.5))
+    system = FCOSSystem(dataclasses.replace(fcfg, score_thresh=0.5,
+                                            quant=quant_eval))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     detect = jax.jit(lambda v, im: system.detect(v, im))
 
@@ -115,7 +119,8 @@ def train_and_eval(ds, train_idx, test_idx, info, image_h, image_w, steps,
 
     coco = CocoDetEvaluator(annos).evaluate(dets, ["hand"] * len(dets))
     return {
-        "resolution": f"{image_h}x{image_w}@nc{num_convs}",
+        "resolution": (f"{image_h}x{image_w}@nc{num_convs}"
+                       + ("@q" if quant_eval else "")),
         "train_seconds": round(train_s, 1),
         "final_loss": round(last, 4),
         "found_rate": round(found / len(test_idx), 4),
@@ -134,9 +139,11 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--resolutions", nargs="+",
                         default=["512x640", "800x1088"],
-                        help="HxW or HxW@ncN (N = tower num_convs, "
-                             "default 4) — e.g. 480x640@nc2 prices the "
-                             "halved-tower 'turbo' design point")
+                        help="HxW with optional @-suffixes: @ncN (tower "
+                             "num_convs, default 4) and @q (eval through "
+                             "the dynamic-int8 serving path) — e.g. "
+                             "480x640@nc2 prices the 'turbo' point, "
+                             "480x640@q the 'quant' point")
     args = parser.parse_args(argv)
 
     root = tempfile.mkdtemp(prefix="res_study_")
@@ -150,13 +157,19 @@ def main(argv=None):
 
     results = []
     for res in args.resolutions:
-        nc = 4
-        if "@nc" in res:
-            res, nc = res.split("@nc")
-            nc = int(nc)
-        h, w = (int(x) for x in res.split("x"))
+        parts = res.split("@")
+        nc, quant = 4, False
+        for tok in parts[1:]:
+            if tok.startswith("nc"):
+                nc = int(tok[2:])
+            elif tok == "q":
+                quant = True
+            else:
+                raise ValueError(f"unknown spec suffix @{tok} in {res!r}")
+        h, w = (int(x) for x in parts[0].split("x"))
         results.append(train_and_eval(ds, train_idx, test_idx, info, h, w,
-                                      args.steps, args.batch, num_convs=nc))
+                                      args.steps, args.batch, num_convs=nc,
+                                      quant_eval=quant))
         print(json.dumps(results[-1]), flush=True)
     print(json.dumps({"study": results}))
 
