@@ -55,6 +55,12 @@ def main(argv=None):
     parser.add_argument("--image-h", type=int, default=256)
     parser.add_argument("--image-w", type=int, default=352)
     parser.add_argument("--crop", type=int, default=96)
+    parser.add_argument("--quant-eval", action="store_true",
+                        help="also evaluate the trained stages through the "
+                             "dynamic-int8 serving path (nn/quant.py) and "
+                             "report fp-vs-int8 deltas — prices the quant "
+                             "profile on the POSE side (the detector side "
+                             "is priced by tools/resolution_study.py @q)")
     args = parser.parse_args(argv)
 
     root = tempfile.mkdtemp(prefix="synth_val_")
@@ -151,25 +157,50 @@ def main(argv=None):
                            cfg=A2JSampleConfig(crop_w=args.crop,
                                                crop_h=args.crop,
                                                bbox_pad=0.4, rand_rotate=0))
+    import dataclasses as _dc
+
+    from handnet_tpu.models.a2j import A2JSystem, a2j_postprocess
+
+    eval_q = None
+    if args.quant_eval:
+        asys_q = A2JSystem(_dc.replace(acfg, quant=True), norm="batch",
+                           dtype=jnp.bfloat16)
+        anchors_q = jnp.asarray(asys_q.anchors)
+        eval_q = jax.jit(lambda v, im: a2j_postprocess(
+            asys_q.module.apply(v, im, train=False), anchors_q))
+        a_vars = {"params": astate.params, "batch_stats": astate.batch_stats}
+
     a2j_only = []
+    a2j_only_q = []
     depth_err = []
     for i in range(len(a_test)):
         s = a_test[i]
         pred, _ = atrainer.eval_step(astate, {
             "image": jnp.asarray(s["depth"][None]),
             "jt_uvd": jnp.asarray(s["jt_uvd"][None])})
-        xyz = np.asarray(_cj(pred, jnp.asarray(s["box"][None]),
-                             jnp.asarray(s["paras"][None]),
-                             args.crop, args.crop))[0]
         gt_xyz = np.asarray(_cj(jnp.asarray(s["jt_uvd"][None]),
                                 jnp.asarray(s["box"][None]),
                                 jnp.asarray(s["paras"][None]),
                                 args.crop, args.crop))[0]
-        a2j_only.append(float(np.linalg.norm(xyz - gt_xyz, axis=1).mean()))
+
+        def _mpjpe(p):
+            xyz = np.asarray(_cj(p, jnp.asarray(s["box"][None]),
+                                 jnp.asarray(s["paras"][None]),
+                                 args.crop, args.crop))[0]
+            return float(np.linalg.norm(xyz - gt_xyz, axis=1).mean())
+
+        a2j_only.append(_mpjpe(pred))
+        if eval_q is not None:
+            a2j_only_q.append(_mpjpe(eval_q(a_vars,
+                                            jnp.asarray(s["depth"][None]))))
         depth_err.append(float(np.abs(np.asarray(pred)[0][:, 2]
                                       - s["jt_uvd"][:, 2]).mean()) * 1000)
     print(f"a2j-only MPJPE on held-out seg crops: {np.mean(a2j_only):.1f} mm "
           f"(depth |err| {np.mean(depth_err):.1f} mm)")
+    if a2j_only_q:
+        print(f"a2j-only MPJPE through the int8 path: "
+              f"{np.mean(a2j_only_q):.1f} mm "
+              f"(delta {np.mean(a2j_only_q) - np.mean(a2j_only):+.2f} mm)")
 
     # ----- assemble the pipeline from trained weights ----------------------
     # a freshly quick-trained detector rarely clears the reference's hard 0.7
@@ -187,12 +218,20 @@ def main(argv=None):
         "a2j": {"params": astate.params, "batch_stats": astate.batch_stats},
     }
     fwd = jax.jit(lambda v, im, d, p: pipe(v, im, d, p))
+    fwd_q = None
+    if args.quant_eval:
+        cfg_q = HandNetConfig(a2j=_dc.replace(acfg, quant=True),
+                              fcos=_dc.replace(fcfg_eval, quant=True),
+                              pipeline=cfg.pipeline)
+        pipe_q = HandNetPipeline(cfg_q, dtype=jnp.bfloat16)
+        fwd_q = jax.jit(lambda v, im, d, p: pipe_q(v, im, d, p))
 
     import cv2
 
     found_count = 0
     ious = []
     mpjpes = []
+    found_q, mpjpes_q = 0, []
     for i in test_idx:
         s, c, f = ds._mapping[i]
         # ds applies the s0-train sequence filter (every 5th sequence is
@@ -230,6 +269,16 @@ def main(argv=None):
             mpjpe = float(np.linalg.norm(
                 xyz - gt["joints_3d"] * 1000.0, axis=1).mean())
             mpjpes.append(mpjpe)
+        if fwd_q is not None:
+            out_q = fwd_q(variables,
+                          jnp.asarray(color[None].astype(np.float32) / 255.0),
+                          jnp.asarray(depth[None]),
+                          jnp.asarray(gt["paras"][None]))
+            if bool(np.asarray(out_q["found"])[0]):
+                found_q += 1
+                mpjpes_q.append(float(np.linalg.norm(
+                    np.asarray(out_q["joints_xyz"])[0]
+                    - gt["joints_3d"] * 1000.0, axis=1).mean()))
 
     print(f"\nheld-out frames: {len(test_idx)}")
     print(f"hand found: {found_count}/{len(test_idx)}")
@@ -238,6 +287,10 @@ def main(argv=None):
               f"mean {np.mean(ious):.3f}")
         print(f"pipeline MPJPE vs planted joints: "
               f"mean {np.mean(mpjpes):.1f} mm")
+    if fwd_q is not None:
+        print(f"int8 pipeline: found {found_q}/{len(test_idx)}, MPJPE "
+              f"{np.mean(mpjpes_q) if mpjpes_q else float('nan'):.1f} mm "
+              f"(fp {np.mean(mpjpes) if mpjpes else float('nan'):.1f})")
     ok = (found_count >= 0.8 * len(test_idx)
           and ious and np.mean(ious) > 0.5
           and mpjpes and np.mean(mpjpes) < 60.0)
