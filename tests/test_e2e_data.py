@@ -69,3 +69,36 @@ def test_depth_colormap():
     cm = depth_colormap(d)
     assert cm.shape == (10, 10, 3)
     assert cm.dtype == np.uint8
+
+
+def test_visualize_hand_batch_grid(rng, tmp_path):
+    """displaymano.py:15-196 equivalent: grid figure with image+2D, 3D
+    skeleton, and 3D mesh columns renders headless and saves a real PNG."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+
+    from handnet_tpu.utils.meshvis import visualize_hand_batch
+
+    b, j, v = 2, 21, 40
+    images = rng.uniform(size=(b, 48, 64, 3)).astype(np.float32)
+    j2 = rng.uniform(0, 48, size=(b, j, 2)).astype(np.float32)
+    j3 = rng.normal(size=(b, j, 3)).astype(np.float32) * 30
+    verts = rng.normal(size=(b, v, 3)).astype(np.float32) * 30
+    faces = rng.integers(0, v, size=(60, 3))
+
+    path = str(tmp_path / "grid.png")
+    fig = visualize_hand_batch(path, images=images, joints2d_gt=j2,
+                               joints2d_pred=j2 + 1, joints3d_gt=j3,
+                               joints3d_pred=j3 + 1, verts3d=verts,
+                               faces=faces)
+    import os
+    assert os.path.exists(path) and os.path.getsize(path) > 1000
+    # all three columns present for each of the 2 rows
+    assert len(fig.axes) == 6
+
+    # joints-only call (no images / mesh) still works
+    fig2 = visualize_hand_batch(str(tmp_path / "j.png"), joints3d_gt=j3)
+    assert len(fig2.axes) == 2
+
+    with pytest.raises(ValueError):
+        visualize_hand_batch(None)
