@@ -65,3 +65,13 @@ def test_profiles_differ_only_where_documented():
     pfields = dataclasses.asdict(parity.fcos)
     diff = {k for k in ffields if ffields[k] != pfields[k]}
     assert diff == {"image_h", "image_w"}
+
+
+def test_quant_composes_onto_parity():
+    """bench.py's QUANT=1 path: a dict override composes the int8 conv flag
+    onto any profile yaml without disturbing its geometry."""
+    cfg = load_config({"fcos": {"quant": True}, "a2j": {"quant": True}},
+                      yaml_path=os.path.join(CONFIGS, "parity.yaml"))
+    assert cfg.fcos.quant and cfg.a2j.quant
+    assert (cfg.fcos.image_h, cfg.fcos.image_w) == (800, 1088)
+    assert cfg.train.batch_size == 128
