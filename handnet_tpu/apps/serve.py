@@ -63,6 +63,8 @@ class PipelineServer:
                  flush_timeout: float = 0.002,
                  out_fields: Iterable[str] = ("joints_uvd", "boxes", "found",
                                               "scores"),
+                 # with cfg.pipeline.with_mesh, add "verts" here to stream
+                 # the fused 778-vert mesh per frame
                  dtype: Any = jnp.bfloat16,
                  quantized_transfer: bool = True,
                  mesh: Optional[Any] = None):

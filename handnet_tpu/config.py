@@ -93,6 +93,10 @@ class PipelineConfig:
     crop_size: int = 176
     rgbd: bool = False
     hand_label: Optional[int] = None  # default: num_classes - 1 (reference :74)
+    # Fuse the Pose2Mesh lifting head into the serving graph: one jitted
+    # frame -> joints -> 778-vert MANO-topology mesh path (the reference runs
+    # pose2mesh per frame on the host, ros_demo.py:131-168 predict_mesh).
+    with_mesh: bool = False
 
 
 @dataclass(frozen=True)

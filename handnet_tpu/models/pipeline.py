@@ -24,8 +24,9 @@ import jax.numpy as jnp
 from handnet_tpu.config import HandNetConfig
 from handnet_tpu.models.a2j import A2JSystem
 from handnet_tpu.models.fcos import FCOSSystem
+from handnet_tpu.models.pose2mesh import normalize_joints_for_pose2mesh_batched
 from handnet_tpu.ops.crop_resize import crop_resize_nearest, pad_box
-from handnet_tpu.ops.geometry import convert_joints
+from handnet_tpu.ops.geometry import convert_joints, crop_uvd_to_image_uvd
 
 
 class HandNetPipeline:
@@ -37,21 +38,49 @@ class HandNetPipeline:
     """
 
     def __init__(self, cfg: Optional[HandNetConfig] = None,
-                 dtype: Any = jnp.float32):
+                 dtype: Any = jnp.float32, mesh_faces=None):
         self.cfg = cfg or HandNetConfig()
         self.detector = FCOSSystem(self.cfg.fcos, dtype=dtype)
         self.a2j = A2JSystem(self.cfg.a2j, dtype=dtype)
         hand_label = self.cfg.pipeline.hand_label
         self.hand_label = (self.cfg.fcos.num_classes - 1
                            if hand_label is None else hand_label)
+        self.pose2mesh = None
+        if self.cfg.pipeline.with_mesh:
+            # fused Pose2Mesh head: frame -> joints -> 778-vert mesh in ONE
+            # jitted graph (the reference lifts per frame on the host,
+            # ros_demo.py:131-168). ``mesh_faces`` [F,3] selects the real
+            # MANO triangulation (convert/mano_assets.py npz); without it a
+            # same-size strip stand-in keeps the plumbing runnable.
+            import numpy as np
+
+            from handnet_tpu.models.pose2mesh import Pose2Mesh
+            from handnet_tpu.ops.graph import build_graph_pyramid
+
+            if mesh_faces is None:
+                mesh_faces = np.stack([np.arange(776), np.arange(1, 777),
+                                       np.arange(2, 778)], axis=1)
+            skeleton = tuple((0, i) for i in (1, 5, 9, 13, 17)) + tuple(
+                (i, i + 1) for i in range(1, 20) if i % 4 != 0)
+            self._pyramid = build_graph_pyramid(
+                np.asarray(mesh_faces, np.int64),
+                self.cfg.pose2mesh.num_joints, skeleton, levels=6)
+            self.mesh_faces = np.asarray(mesh_faces, np.int64)
+            self.pose2mesh = Pose2Mesh(pyramid=self._pyramid,
+                                       cfg=self.cfg.pose2mesh, dtype=dtype)
 
     def init(self, rng, batch_size: int = 1, image_h: int = 480,
              image_w: int = 640):
-        rng_det, rng_a2j = jax.random.split(rng)
-        return {
+        rng_det, rng_a2j, rng_mesh = jax.random.split(rng, 3)
+        variables = {
             "detector": self.detector.init(rng_det, batch_size),
             "a2j": self.a2j.init(rng_a2j, batch_size),
         }
+        if self.pose2mesh is not None:
+            variables["pose2mesh"] = self.pose2mesh.init(
+                rng_mesh,
+                jnp.zeros((1, self.cfg.pose2mesh.num_joints, 2)))
+        return variables
 
     def __call__(self, variables, images: jnp.ndarray,
                  depth_images: jnp.ndarray,
@@ -67,7 +96,9 @@ class HandNetPipeline:
           joints_uvd ``[B, 21, 3]`` (crop frame), boxes ``[B, 4]`` padded crop
           boxes, crops ``[B, 176, 176, C]``, found ``[B]`` bool, scores ``[B]``,
           sides ``[B]``, joints_xyz ``[B, 21, 3]`` mm (when paras given),
-          joints_uvd_full ``[B, 21, 3]`` (full-image UV + depth).
+          joints_uvd_full ``[B, 21, 3]`` (full-image UV + depth). With
+          ``pipeline.with_mesh``: verts ``[B, 778, 3]`` root-relative meters
+          and (when paras given) verts_xyz ``[B, 778, 3]`` camera-frame mm.
         Frames without a detected hand have found=False and zeroed outputs
         (reference handnet_pipeline.py:107-108).
         """
@@ -116,12 +147,35 @@ class HandNetPipeline:
             "found": found,
             "scores": score,
             "sides": side,
+            "joints_uvd_full": crop_uvd_to_image_uvd(
+                joints_uvd, crop_box.astype(jnp.float32),
+                cfg.pipeline.crop_size, cfg.pipeline.crop_size
+            ) * found[:, None, None],
         }
         if paras is not None:
             xyz = convert_joints(joints_uvd, crop_box.astype(jnp.float32),
                                  paras, cfg.pipeline.crop_size,
                                  cfg.pipeline.crop_size)
             out["joints_xyz"] = xyz * found[:, None, None]
+        if self.pose2mesh is not None:
+            # normalization is similarity-invariant, so crop-frame UV feeds
+            # the lifter identically to image-frame UV (apps/demo.py does the
+            # same on the host; ros_demo.py:148-160)
+            norm = normalize_joints_for_pose2mesh_batched(
+                joints_uvd[..., :2])
+            mesh_padded, _ = self.pose2mesh.apply(variables["pose2mesh"],
+                                                  norm)
+            verts = jnp.take(mesh_padded,
+                             jnp.asarray(self._pyramid.perm_reverse[:778]),
+                             axis=1)                             # [B, 778, 3]
+            # pose2mesh emits meter-scale root-relative verts
+            out["verts"] = verts * found[:, None, None]
+            if paras is not None:
+                # camera-frame mm: verts*1000 anchored at the predicted
+                # wrist (reference ros_demo.py:334 mesh*1000 + joints3d)
+                out["verts_xyz"] = ((verts * 1000.0
+                                     + out["joints_xyz"][:, :1])
+                                    * found[:, None, None])
         return out
 
     def detect(self, variables, images: jnp.ndarray):

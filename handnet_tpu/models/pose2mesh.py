@@ -242,6 +242,37 @@ class Pose2Mesh(nn.Module):
         return mesh, pose3d
 
 
+def normalize_joints_for_pose2mesh_batched(joints2d: jnp.ndarray,
+                                           input_shape=(384, 288)
+                                           ) -> jnp.ndarray:
+    """In-graph batched version of :func:`normalize_joints_for_pose2mesh`
+    (``[B, J, 2]`` -> ``[B, J, 2]``): same bbox/aspect/affine/standardize
+    semantics with the host branches turned into selects, plus eps guards so
+    all-zero (masked "no hand") rows stay finite instead of producing NaNs
+    that would poison the found-mask multiply downstream.
+    """
+    j = joints2d.astype(jnp.float32)
+    xmin = j[..., 0].min(axis=-1)
+    ymin = j[..., 1].min(axis=-1)
+    w = j[..., 0].max(axis=-1) - xmin
+    h = j[..., 1].max(axis=-1) - ymin
+    w = jnp.where(w > 1, w - 1, w)
+    h = jnp.where(h > 1, h - 1, h)
+    cx = xmin + w / 2.0
+    cy = ymin + h / 2.0
+    aspect = input_shape[1] / input_shape[0]
+    new_h = jnp.where(w > aspect * h, w / aspect, h)
+    new_w = jnp.where(w < aspect * h, h * aspect, w)
+    dst_w, dst_h = float(input_shape[1]), float(input_shape[0])
+    s = dst_w / jnp.maximum(new_w, 1e-4)
+    u = ((j[..., 0] - cx[..., None]) * s[..., None] + dst_w / 2.0) / dst_w
+    v = ((j[..., 1] - cy[..., None]) * s[..., None] + dst_h / 2.0) / dst_h
+    out = jnp.stack([u, v], axis=-1)
+    mean = out.mean(axis=-2, keepdims=True)
+    std = out.std(axis=-2, keepdims=True)
+    return (out - mean) / (std + 1e-8)
+
+
 def normalize_joints_for_pose2mesh(joints2d: np.ndarray,
                                    input_shape=(384, 288)) -> np.ndarray:
     """The demo-side 2D-joint normalization (ros_demo.py:148-160 predict_mesh):

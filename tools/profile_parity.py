@@ -67,7 +67,12 @@ def main():
     from handnet_tpu.nn.resnet import resnet34
 
     profile = os.environ.get("PROFILE", "parity")
-    cfg = load_config(yaml_path=os.path.join(_REPO, "configs",
+    overrides = None
+    if os.environ.get("QUANT") == "1":
+        # attribute the dynamic-int8 point (nn/quant.py) on any geometry
+        overrides = {"fcos": {"quant": True}, "a2j": {"quant": True}}
+    cfg = load_config(overrides,
+                      yaml_path=os.path.join(_REPO, "configs",
                                              f"{profile}.yaml"))
     batch = args.batch or cfg.train.batch_size
     dtype = jnp.bfloat16
@@ -110,7 +115,7 @@ def main():
     head = jax.block_until_ready(head)
 
     # backbone alone
-    bb = resnet34(norm="frozen", dtype=dtype)
+    bb = resnet34(norm="frozen", dtype=dtype, quant=cfg.fcos.quant)
     bb_vars = {k: v["backbone"] for k, v in det_vars.items()
                if "backbone" in v}
     bb_fwd = jax.jit(lambda v, x: bb.apply(v, x, train=False))
@@ -119,7 +124,8 @@ def main():
         report("  detector backbone (resnet34)", t_bb)
         feats = jax.block_until_ready(feats)
 
-        fpn = FPN(out_channels=cfg.fcos.fpn_channels, dtype=dtype)
+        fpn = FPN(out_channels=cfg.fcos.fpn_channels, dtype=dtype,
+                  quant=cfg.fcos.quant)
         fpn_vars = {k: v["fpn"] for k, v in det_vars.items() if "fpn" in v}
         fpn_fwd = jax.jit(lambda v, c3, c4, c5: fpn.apply(v, [c3, c4, c5]))
         t_fpn, pyr = timed(fpn_fwd, fpn_vars, feats["c3"], feats["c4"],
