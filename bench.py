@@ -43,11 +43,12 @@ def main():
     profile = os.environ.get("PROFILE", "fast")
     cfg = load_config(yaml_path=os.path.join(_REPO, "configs",
                                              f"{profile}.yaml"))
-    if os.environ.get("QUANT") == "1":
-        # compose the dynamic-int8 serving path (nn/quant.py) onto any
-        # profile, e.g. QUANT=1 PROFILE=parity measures the reference
-        # geometry with int8 convs
-        cfg = load_config({"fcos": {"quant": True}, "a2j": {"quant": True}},
+    if os.environ.get("QUANT") in ("1", "static"):
+        # compose the int8 serving path (nn/quant.py) onto any profile,
+        # e.g. QUANT=1 PROFILE=parity measures the reference geometry with
+        # dynamic-int8 convs; QUANT=static uses calibrated scales instead
+        q = "static" if os.environ["QUANT"] == "static" else True
+        cfg = load_config({"fcos": {"quant": q}, "a2j": {"quant": q}},
                           yaml_path=os.path.join(_REPO, "configs",
                                                  f"{profile}.yaml"))
     batch = cfg.train.batch_size
@@ -59,6 +60,10 @@ def main():
     images = jnp.asarray(rng.uniform(size=(batch, 480, 640, 3)).astype(np.float32))
     depth = jnp.asarray(
         rng.uniform(0.3, 1.0, size=(batch, 480, 640)).astype(np.float32))
+
+    if "static" in (cfg.fcos.quant, cfg.a2j.quant):
+        # one-pass activation-scale calibration (quant_stats collection)
+        variables = pipe.calibrate(variables, images, depth)
 
     fwd = jax.jit(lambda v, im, d: pipe(v, im, d)["joints_uvd"])
     # warmup / compile

@@ -33,10 +33,12 @@ class A2JConfig:
     # the permute(0,3,2,1) in its heads (reference a2j/a2j.py:86-89). Set True when
     # loading converted torch weights; False for clean training from scratch.
     transposed_anchors: bool = False
-    # Dynamic-int8 serving path (nn/quant.py): backbone + head tower convs run
+    # int8 serving path (nn/quant.py): backbone + head tower convs run
     # int8xint8->int32 on the MXU (2x bf16 TOPs on v5e). Inference-only —
     # trainers force it off; params are unchanged (train bf16, serve int8).
-    quant: bool = False
+    # False = float; True/"dynamic" = per-sample scales; "static" =
+    # calibrated per-layer scales (quant_stats collection).
+    quant: Any = False
 
     @property
     def num_anchors(self) -> int:
@@ -79,10 +81,12 @@ class FCOSConfig:
     # 451 fps parity profile — XLA already lowers the 7x7/s2 stem well), so
     # default OFF; kept as a tested option for other hardware generations.
     s2d_stem: bool = False
-    # Dynamic-int8 serving path (nn/quant.py): backbone + FPN + tower convs
-    # run int8xint8->int32 on the MXU (2x bf16 TOPs on v5e); prediction convs
-    # stay float. Inference-only — trainers force it off.
-    quant: bool = False
+    # int8 serving path (nn/quant.py): backbone + FPN + tower convs run
+    # int8xint8->int32 on the MXU (2x bf16 TOPs on v5e); prediction convs
+    # stay float. Inference-only — trainers force it off. False = float;
+    # True/"dynamic" = per-sample scales; "static" = calibrated per-layer
+    # scales (quant_stats collection; see HandNetPipeline.calibrate).
+    quant: Any = False
 
 
 @dataclass(frozen=True)

@@ -178,6 +178,37 @@ class HandNetPipeline:
                                     * found[:, None, None])
         return out
 
+    def calibrate(self, variables, images: jnp.ndarray,
+                  depth_images: jnp.ndarray):
+        """One-pass activation-scale calibration for the static-int8 path
+        (``quant="static"``, nn/quant.py).
+
+        Records each QuantConv's running activation amax into the
+        ``quant_stats`` collection, in serving order: the detector sees the
+        frames first, then A2J sees the crops the *calibrated* detector
+        produces (the crop distribution is what A2J serves on). Call with
+        one or more representative batches — amaxes fold with ``max`` so
+        repeated calls only widen the range. A no-op (returns ``variables``
+        unchanged) for float/dynamic-quant configs.
+        """
+        from handnet_tpu.models.fcos import preprocess
+
+        net_in, _ = preprocess(images, self.cfg.fcos)
+        _, det_upd = self.detector.module.apply(
+            variables["detector"], net_in, train=False,
+            mutable=["quant_stats"])
+        det_upd = {k: v for k, v in det_upd.items() if v}  # drop empties
+        variables = dict(variables)
+        variables["detector"] = {**variables["detector"], **det_upd}
+        if depth_images.ndim == 3:
+            depth_images = depth_images[..., None]
+        crops = self(variables, images, depth_images)["crops"]
+        _, a2j_upd = self.a2j.module.apply(
+            variables["a2j"], crops, train=False, mutable=["quant_stats"])
+        a2j_upd = {k: v for k, v in a2j_upd.items() if v}
+        variables["a2j"] = {**variables["a2j"], **a2j_upd}
+        return variables
+
     def detect(self, variables, images: jnp.ndarray):
         """Detector-only entry (the reference's ``is_detect=True`` branch,
         handnet_pipeline.py:63-65): padded detections in original pixels."""

@@ -20,6 +20,17 @@ untouched: train in bf16/fp32, then *serve* the same params with
 * accumulation in int32 (``preferred_element_type``), dequantized by
   ``sx[b] * sw[o]`` in the conv epilogue (XLA fuses it).
 
+Static calibration (``quant="static"``): the per-sample amax costs an extra
+full read of every conv input plus a reduction barrier before the int8 conv
+can start. The static path replaces it with a per-layer calibrated constant
+held in the ``quant_stats`` flax collection: one calibration forward with
+``mutable=["quant_stats"]`` records each layer's running activation amax
+(:func:`HandNetPipeline.calibrate <handnet_tpu.models.pipeline>` wires the
+two-stage order — detector on frames first, then A2J on the crops the
+calibrated detector produces), after which serving quantizes with the stored
+scalar — a pure elementwise op XLA fuses into the producer's epilogue.
+Out-of-calibration-range activations saturate at +-127 (symmetric clip).
+
 This file has no reference counterpart — the reference serves fp32/AMP
 (CUDA); int8 serving is a TPU-first addition priced by the synthetic study
 (tools/resolution_study.py ``@q`` spec) like the fast/turbo points.
@@ -89,6 +100,9 @@ class QuantConv(nn.Module):
     dtype: Any = jnp.float32
     kernel_init: Any = nn.initializers.lecun_normal()
     bias_init: Any = nn.initializers.zeros_init()
+    # use a calibrated per-layer activation scale (``quant_stats`` collection)
+    # instead of the on-the-fly per-sample amax — see module docstring
+    static_scale: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -97,7 +111,22 @@ class QuantConv(nn.Module):
         kernel = self.param("kernel", self.kernel_init,
                             (*ksize, x.shape[-1], self.features), jnp.float32)
         wq, sw = quantize_symmetric(kernel, axes=(0, 1, 2))  # sw [1,1,1,Cout]
-        xq, sx = quantize_symmetric(x, axes=(1, 2, 3))       # sx [B,1,1,1]
+        if self.static_scale:
+            amax_var = self.variable("quant_stats", "act_amax",
+                                     lambda: jnp.zeros((), jnp.float32))
+            if self.is_mutable_collection("quant_stats"):
+                # calibration pass: fold this batch's global amax into the
+                # running max; the forward itself stays dynamic so the
+                # calibration outputs are the dynamic path's outputs
+                batch_amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                amax_var.value = jnp.maximum(amax_var.value, batch_amax)
+                xq, sx = quantize_symmetric(x, axes=(1, 2, 3))
+            else:
+                sx = jnp.maximum(amax_var.value, 1e-8) / 127.0  # scalar
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                              -127, 127).astype(jnp.int8)
+        else:
+            xq, sx = quantize_symmetric(x, axes=(1, 2, 3))   # sx [B,1,1,1]
         acc = jax.lax.conv_general_dilated(
             xq, wq, window_strides=_pair(self.strides),
             padding=_norm_padding(self.padding, ksize, dilation),
@@ -112,8 +141,15 @@ class QuantConv(nn.Module):
         return out.astype(self.dtype)
 
 
-def conv_layer(quant: bool, *args, **kwargs):
-    """``nn.Conv`` or :class:`QuantConv` with the same arguments."""
+def conv_layer(quant: Union[bool, str], *args, **kwargs):
+    """``nn.Conv`` or :class:`QuantConv` with the same arguments.
+
+    ``quant``: ``False`` -> float ``nn.Conv``; ``True`` / ``"dynamic"`` ->
+    per-sample dynamic int8; ``"static"`` -> calibrated static-scale int8
+    (requires a ``quant_stats`` collection — see module docstring).
+    """
+    if quant == "static":
+        return QuantConv(*args, static_scale=True, **kwargs)
     if quant:
         return QuantConv(*args, **kwargs)
     return nn.Conv(*args, **kwargs)

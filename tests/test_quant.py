@@ -135,6 +135,131 @@ def test_quant_yaml_profile_loads():
     assert cfg.fcos.num_convs == 4  # reference tower depth — checkpoints fit
 
 
+def test_conv_layer_mode_mapping():
+    from handnet_tpu.nn.quant import conv_layer
+
+    assert isinstance(conv_layer(False, features=8, kernel_size=(3, 3)),
+                      nn.Conv)
+    dyn = conv_layer(True, features=8, kernel_size=(3, 3))
+    assert isinstance(dyn, QuantConv) and not dyn.static_scale
+    dyn2 = conv_layer("dynamic", features=8, kernel_size=(3, 3))
+    assert isinstance(dyn2, QuantConv) and not dyn2.static_scale
+    sta = conv_layer("static", features=8, kernel_size=(3, 3))
+    assert isinstance(sta, QuantConv) and sta.static_scale
+
+
+def test_static_quantconv_calibrate_then_serve():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 24)), jnp.float32)
+    kwargs = dict(features=32, kernel_size=(3, 3), padding=1)
+    conv_f = nn.Conv(**kwargs)
+    variables = conv_f.init(jax.random.PRNGKey(1), x)
+    ref = conv_f.apply(variables, x)
+
+    conv_s = QuantConv(**kwargs, static_scale=True)
+    vs = conv_s.init(jax.random.PRNGKey(1), x)
+    # param tree identical to the float conv (drop-in contract holds)
+    assert jax.tree.structure(vs["params"]) == jax.tree.structure(
+        variables["params"])
+    # calibration records the batch amax (init already saw |x|; re-calibrate
+    # from the float params to pin the value)
+    _, upd = conv_s.apply({**variables, "quant_stats": vs["quant_stats"]},
+                          x, mutable=["quant_stats"])
+    amax = jax.tree.leaves(upd["quant_stats"])[0]
+    np.testing.assert_allclose(float(amax), float(jnp.abs(x).max()),
+                               rtol=1e-6)
+    # serving (immutable) uses the stored scalar; output within quant noise
+    out = conv_s.apply({**variables, **upd}, x)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
+    # and matches the dynamic path closely (same data -> same effective
+    # scales up to per-sample vs per-layer granularity)
+    out_dyn = QuantConv(**kwargs).apply(variables, x)
+    rel_dd = float(jnp.linalg.norm(out - out_dyn) / jnp.linalg.norm(out_dyn))
+    assert rel_dd < 0.03, rel_dd
+
+
+def test_static_quantconv_repeated_calibration_folds_max():
+    kwargs = dict(features=8, kernel_size=(1, 1), use_bias=False)
+    conv = QuantConv(**kwargs, static_scale=True)
+    x_small = jnp.full((1, 4, 4, 4), 0.5, jnp.float32)
+    x_big = jnp.full((1, 4, 4, 4), 3.0, jnp.float32)
+    vs = conv.init(jax.random.PRNGKey(0), x_small)
+    _, upd = conv.apply(vs, x_big, mutable=["quant_stats"])
+    _, upd2 = conv.apply({**vs, **upd}, x_small, mutable=["quant_stats"])
+    # the smaller later batch must not shrink the recorded range
+    assert float(jax.tree.leaves(upd2["quant_stats"])[0]) == 3.0
+
+
+def test_pipeline_static_quant_calibrate_and_run():
+    from handnet_tpu.models.pipeline import HandNetPipeline
+
+    over = {
+        "fcos": {"num_classes": 2, "ext": False, "image_h": 64,
+                 "image_w": 96, "max_detections": 8, "score_thresh": 0.0},
+        "a2j": {"crop_h": 32, "crop_w": 32},
+        "pipeline": {"crop_size": 32},
+    }
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(2, 64, 96, 3)), jnp.float32)
+    depth = jnp.asarray(rng.uniform(0.3, 1.0, size=(2, 64, 96)), jnp.float32)
+
+    cfg_s = load_config({**over, "fcos": {**over["fcos"], "quant": "static"},
+                         "a2j": {**over["a2j"], "quant": "static"}})
+    pipe_s = HandNetPipeline(cfg_s)
+    vs = pipe_s.init(jax.random.PRNGKey(0), image_h=64, image_w=96)
+    assert "quant_stats" in vs["detector"] and "quant_stats" in vs["a2j"]
+    vs = pipe_s.calibrate(vs, images, depth)
+    # every recorded amax is finite and non-negative
+    for leaf in jax.tree.leaves(vs["detector"]["quant_stats"]):
+        assert np.isfinite(float(leaf)) and float(leaf) >= 0.0
+    out_s = jax.jit(lambda v, im, d: pipe_s(v, im, d))(vs, images, depth)
+    assert bool(jnp.isfinite(out_s["joints_uvd"]).all())
+
+    # static path stays close to the dynamic path on the SAME params
+    cfg_d = load_config({**over, "fcos": {**over["fcos"], "quant": True},
+                         "a2j": {**over["a2j"], "quant": True}})
+    pipe_d = HandNetPipeline(cfg_d)
+    vd = {"detector": {k: v for k, v in vs["detector"].items()
+                       if k != "quant_stats"},
+          "a2j": {k: v for k, v in vs["a2j"].items() if k != "quant_stats"}}
+    out_d = pipe_d(vd, images, depth)
+    assert out_s["joints_uvd"].shape == out_d["joints_uvd"].shape
+    # untrained nets + quantization: gate on "same ballpark", not bitwise
+    diff = float(jnp.abs(out_s["joints_uvd"] - out_d["joints_uvd"]).mean())
+    span = float(jnp.abs(out_d["joints_uvd"]).max()) + 1e-6
+    assert diff / span < 0.2, (diff, span)
+
+
+def test_calibrate_is_noop_for_float_config():
+    from handnet_tpu.models.pipeline import HandNetPipeline
+
+    cfg = load_config({
+        "fcos": {"num_classes": 2, "ext": False, "image_h": 64,
+                 "image_w": 96, "max_detections": 8, "score_thresh": 0.0},
+        "a2j": {"crop_h": 32, "crop_w": 32},
+        "pipeline": {"crop_size": 32},
+    })
+    pipe = HandNetPipeline(cfg)
+    vs = pipe.init(jax.random.PRNGKey(0), image_h=64, image_w=96)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(1, 64, 96, 3)), jnp.float32)
+    depth = jnp.asarray(rng.uniform(0.3, 1.0, size=(1, 64, 96)), jnp.float32)
+    out = pipe.calibrate(vs, images, depth)
+    assert set(out["detector"]) == set(vs["detector"])  # no new collections
+    assert set(out["a2j"]) == set(vs["a2j"])
+
+
+def test_quant_static_yaml_loads():
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(yaml_path=os.path.join(repo, "configs",
+                                             "quant_static.yaml"))
+    assert cfg.fcos.quant == "static" and cfg.a2j.quant == "static"
+    assert cfg.fcos.num_convs == 4  # reference tower depth — checkpoints fit
+
+
 def test_trainers_force_quant_off():
     from handnet_tpu.train.trainer import A2JTrainer, FCOSTrainer
 
