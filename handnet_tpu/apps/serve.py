@@ -146,6 +146,30 @@ class PipelineServer:
 
     # -- lifecycle -----------------------------------------------------------
 
+    def _place_variables(self, variables):
+        if self.mesh is not None:
+            from handnet_tpu.parallel.mesh import replicate_sharding
+            variables = jax.device_put(variables,
+                                       replicate_sharding(self.mesh))
+        return variables
+
+    def calibrate(self, images: np.ndarray, depth: np.ndarray) -> None:
+        """One-pass static-int8 activation-scale calibration
+        (``HandNetPipeline.calibrate``) on representative frames; call
+        before :meth:`start`. ``images`` float [B,H,W,3] in 0-1, ``depth``
+        float [B,H,W] meters. No-op for float/dynamic-quant configs."""
+        variables = self.pipe.calibrate(
+            self.variables, jnp.asarray(images, jnp.float32),
+            jnp.asarray(depth, jnp.float32))
+        self.variables = self._place_variables(variables)
+
+    def load_calibration(self, path: str) -> None:
+        """Merge a saved static-int8 calibration artifact
+        (``nn.quant.save_calibration``) into this server's variables."""
+        from handnet_tpu.nn.quant import load_calibration
+        self.variables = self._place_variables(
+            load_calibration(path, self.variables))
+
     def start(self) -> "PipelineServer":
         self.compile()
         self._stop.clear()
@@ -293,6 +317,11 @@ def main(argv=None):
     parser.add_argument("--mesh", type=int, default=0,
                         help="shard each microbatch over this many devices "
                              "(0 = single device)")
+    parser.add_argument("--calib", default=None,
+                        help="static-int8 calibration artifact (.npz): "
+                             "loaded if it exists, else written after "
+                             "calibrating on the warmup frames (only used "
+                             "by quant: static profiles)")
     args = parser.parse_args(argv)
 
     import os
@@ -307,18 +336,30 @@ def main(argv=None):
         from handnet_tpu.parallel.mesh import create_mesh
         mesh = create_mesh(args.mesh)
     server = PipelineServer(cfg, batch_size=args.batch, mesh=mesh)
-    if args.compute_only:
-        ceiling = server.compute_fps_probe(
-            n_batches=max(args.frames // args.batch, 4))
-        print(f"compute ceiling (device-staged, no transfer): "
-              f"{ceiling:.1f} fps")
-    server.start()
 
     rng = np.random.default_rng(0)
     # sensor-native frames: no per-frame float->uint8 conversion on submit
     frames = [(rng.integers(0, 256, size=(480, 640, 3), dtype=np.uint8),
                rng.integers(300, 1000, size=(480, 640), dtype=np.uint16))
               for _ in range(8)]
+
+    if "static" in (cfg.fcos.quant, cfg.a2j.quant):
+        if args.calib and os.path.exists(args.calib):
+            server.load_calibration(args.calib)
+        else:
+            server.calibrate(
+                np.stack([f[0] for f in frames]).astype(np.float32) / 255.0,
+                np.stack([f[1] for f in frames]).astype(np.float32) / 1000.0)
+            if args.calib:
+                from handnet_tpu.nn.quant import save_calibration
+                save_calibration(args.calib, server.variables)
+
+    if args.compute_only:
+        ceiling = server.compute_fps_probe(
+            n_batches=max(args.frames // args.batch, 4))
+        print(f"compute ceiling (device-staged, no transfer): "
+              f"{ceiling:.1f} fps")
+    server.start()
 
     def feeder(sid):
         for fid in range(args.frames // args.streams):

@@ -43,6 +43,7 @@ from typing import Any, Sequence, Tuple, Union
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 PaddingLike = Union[str, int, Sequence[Tuple[int, int]]]
 
@@ -153,3 +154,73 @@ def conv_layer(quant: Union[bool, str], *args, **kwargs):
     if quant:
         return QuantConv(*args, **kwargs)
     return nn.Conv(*args, **kwargs)
+
+
+def save_calibration(path: str, variables) -> int:
+    """Persist every ``quant_stats`` collection found in a (possibly nested)
+    variables tree as a flat ``.npz``, keyed by tree path.
+
+    Lets a one-pass calibration (:meth:`HandNetPipeline.calibrate`) survive
+    process restarts — serve a calibrated static-int8 model without
+    re-running calibration data through it. Returns the number of scalars
+    saved; raises if the tree holds no ``quant_stats`` (a float/dynamic
+    config — nothing to persist).
+    """
+    flat = {}
+
+    def flatten(prefix: str, tree) -> None:
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                flatten(f"{prefix}/{k}", v)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    def find(prefix: str, tree) -> None:
+        if not isinstance(tree, dict):
+            return
+        for k, v in tree.items():
+            p = f"{prefix}/{k}" if prefix else k
+            if k == "quant_stats":
+                flatten(p, v)
+            else:
+                find(p, v)
+
+    find("", variables)
+    if not flat:
+        raise ValueError("variables contain no quant_stats collections "
+                         "(is the config quant='static'?)")
+    np.savez(path, **flat)
+    return len(flat)
+
+
+def load_calibration(path: str, variables):
+    """Merge a :func:`save_calibration` artifact back into ``variables``.
+
+    Returns a new tree (input not mutated). Every key in the file must
+    already exist in ``variables``' structure — a calibration saved for a
+    different architecture/config fails loudly instead of silently serving
+    part-uncalibrated.
+    """
+    data = np.load(path)
+
+    def clone(tree):
+        if isinstance(tree, dict):
+            return {k: clone(v) for k, v in tree.items()}
+        return tree
+
+    out = clone(variables)
+    for key in data.files:
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            if not isinstance(node, dict) or p not in node:
+                raise KeyError(
+                    f"calibration entry {key!r} does not match the variables "
+                    f"structure (missing {p!r}) — wrong config/architecture?")
+            node = node[p]
+        if not isinstance(node, dict) or parts[-1] not in node:
+            raise KeyError(
+                f"calibration entry {key!r} does not match the variables "
+                f"structure — wrong config/architecture?")
+        node[parts[-1]] = jnp.asarray(data[key])
+    return out

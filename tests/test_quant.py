@@ -260,6 +260,60 @@ def test_quant_static_yaml_loads():
     assert cfg.fcos.num_convs == 4  # reference tower depth — checkpoints fit
 
 
+_SMALL_STATIC = {
+    "fcos": {"num_classes": 2, "ext": False, "image_h": 64, "image_w": 96,
+             "max_detections": 8, "score_thresh": 0.0, "quant": "static"},
+    "a2j": {"crop_h": 32, "crop_w": 32, "quant": "static"},
+    "pipeline": {"crop_size": 32},
+}
+
+
+def test_calibration_save_load_roundtrip(tmp_path):
+    from handnet_tpu.models.pipeline import HandNetPipeline
+    from handnet_tpu.nn.quant import load_calibration, save_calibration
+
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.uniform(size=(2, 64, 96, 3)), jnp.float32)
+    depth = jnp.asarray(rng.uniform(0.3, 1.0, size=(2, 64, 96)), jnp.float32)
+    pipe = HandNetPipeline(load_config(_SMALL_STATIC))
+    fresh = pipe.init(jax.random.PRNGKey(0), image_h=64, image_w=96)
+    calibrated = pipe.calibrate(fresh, images, depth)
+    path = str(tmp_path / "calib.npz")
+    n = save_calibration(path, calibrated)
+    assert n > 0
+
+    # merging the artifact into the FRESH tree reproduces the calibrated one
+    restored = load_calibration(path, fresh)
+    for a, b in zip(jax.tree.leaves(restored["detector"]["quant_stats"]),
+                    jax.tree.leaves(calibrated["detector"]["quant_stats"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out_r = pipe(restored, images, depth)["joints_uvd"]
+    out_c = pipe(calibrated, images, depth)["joints_uvd"]
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_c))
+
+
+def test_calibration_io_rejects_mismatches(tmp_path):
+    from handnet_tpu.models.pipeline import HandNetPipeline
+    from handnet_tpu.nn.quant import load_calibration, save_calibration
+
+    # float config: nothing to save
+    float_cfg = {k: ({kk: vv for kk, vv in v.items() if kk != "quant"}
+                     if isinstance(v, dict) else v)
+                 for k, v in _SMALL_STATIC.items()}
+    pipe_f = HandNetPipeline(load_config(float_cfg))
+    vs_f = pipe_f.init(jax.random.PRNGKey(0), image_h=64, image_w=96)
+    with pytest.raises(ValueError):
+        save_calibration(str(tmp_path / "none.npz"), vs_f)
+
+    # artifact from the static config must not merge into a float tree
+    pipe_s = HandNetPipeline(load_config(_SMALL_STATIC))
+    vs_s = pipe_s.init(jax.random.PRNGKey(0), image_h=64, image_w=96)
+    path = str(tmp_path / "calib.npz")
+    save_calibration(path, vs_s)
+    with pytest.raises(KeyError):
+        load_calibration(path, vs_f)
+
+
 def test_trainers_force_quant_off():
     from handnet_tpu.train.trainer import A2JTrainer, FCOSTrainer
 

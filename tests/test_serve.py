@@ -194,3 +194,55 @@ def test_mesh_server_rejects_indivisible_batch():
     with pytest.raises(ValueError):
         PipelineServer(CFG, batch_size=6, frame_hw=HW, dtype=jnp.float32,
                        mesh=create_mesh(8))
+
+
+def test_static_quant_server_calibrate_and_persist(tmp_path):
+    """A quant='static' server calibrates on representative frames before
+    start(), serves finite results, and a second server restored from the
+    saved calibration artifact serves identical results."""
+    import dataclasses
+
+    from handnet_tpu.nn.quant import save_calibration
+
+    cfg = dataclasses.replace(
+        CFG,
+        fcos=dataclasses.replace(CFG.fcos, quant="static", score_thresh=0.0),
+        a2j=dataclasses.replace(CFG.a2j, quant="static"))
+    frames = [_frame(300 + i) for i in range(4)]
+    ims = np.stack([f[0] for f in frames])
+    deps = np.stack([f[1] for f in frames])
+
+    s1 = PipelineServer(cfg, batch_size=4, frame_hw=HW, dtype=jnp.float32)
+    s1.calibrate(ims, deps)
+    path = str(tmp_path / "calib.npz")
+    save_calibration(path, s1.variables)
+
+    s2 = PipelineServer(cfg, batch_size=4, frame_hw=HW, dtype=jnp.float32,
+                        variables={
+                            k: {kk: vv for kk, vv in v.items()}
+                            for k, v in s1.variables.items()})
+    # wipe s2's stats back to fresh zeros, then restore from the artifact
+    fresh = s2.pipe.init(jax.random.PRNGKey(1), image_h=HW[0], image_w=HW[1])
+    for part in ("detector", "a2j"):
+        s2.variables[part]["quant_stats"] = fresh[part]["quant_stats"]
+    s2.load_calibration(path)
+
+    s1.start()
+    s2.start()
+    try:
+        for fid, (rgb, dep) in enumerate(frames):
+            s1.submit(0, fid, rgb, dep)
+            s2.submit(0, fid, rgb, dep)
+        got1, got2 = {}, {}
+        for _ in range(len(frames)):
+            _, fid, out = s1.get(timeout=120)
+            got1[fid] = out
+            _, fid, out = s2.get(timeout=120)
+            got2[fid] = out
+    finally:
+        s1.stop()
+        s2.stop()
+    for fid in got1:
+        assert np.isfinite(got1[fid]["joints_uvd"]).all()
+        np.testing.assert_array_equal(got2[fid]["joints_uvd"],
+                                      got1[fid]["joints_uvd"])
