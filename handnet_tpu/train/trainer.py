@@ -125,11 +125,15 @@ class A2JTrainer:
                 state.params, state.batch_stats, batch)
             return state.apply_gradients(grads, new_bs), metrics
 
+        # donate the incoming TrainState: params + Adam moments dominate the
+        # training HBM footprint, and the step is state -> new state, so XLA
+        # can alias the update in place instead of holding both trees live
+        # (a no-op on CPU, where donation is unsupported)
         if self.mesh is None:
-            return jax.jit(step)
+            return jax.jit(step, donate_argnums=(0,))
         repl, data = _dp_shardings(self.mesh)
         batch_shard = {"image": data, "jt_uvd": data}
-        return jax.jit(step,
+        return jax.jit(step, donate_argnums=(0,),
                        in_shardings=(repl, batch_shard),
                        out_shardings=(repl, repl))
 
@@ -228,15 +232,16 @@ class FCOSTrainer:
                 state.params, state.batch_stats, batch)
             return state.apply_gradients(grads, new_bs), metrics
 
+        # donate the incoming TrainState (see A2JTrainer._build_train_step)
         if self.mesh is None:
-            return jax.jit(step)
+            return jax.jit(step, donate_argnums=(0,))
         repl, data = _dp_shardings(self.mesh)
         batch_shard = {
             "image": data,
             "targets": {"boxes": data, "labels": data, "valid": data,
                         "box_info": data},
         }
-        return jax.jit(step,
+        return jax.jit(step, donate_argnums=(0,),
                        in_shardings=(repl, batch_shard),
                        out_shardings=(repl, repl))
 

@@ -132,12 +132,13 @@ def test_fcos_batch_norm_stats_update():
             "box_info": jnp.zeros((2, 1, 5)),
         },
     }
-    means_before = jax.tree_util.tree_leaves(
-        {k: v for k, v in state.batch_stats.items()})
+    # snapshot to host BEFORE the step: train_step donates its input state
+    bs_before = [np.asarray(l) for l in
+                 jax.tree_util.tree_leaves(state.batch_stats)]
     new_state, _ = trainer.train_step(state, batch)
     moved = sum(
-        float(np.abs(np.asarray(a) - np.asarray(b)).sum()) > 0
-        for a, b in zip(jax.tree_util.tree_leaves(state.batch_stats),
+        float(np.abs(a - np.asarray(b)).sum()) > 0
+        for a, b in zip(bs_before,
                         jax.tree_util.tree_leaves(new_state.batch_stats)))
     assert moved > 0
 
@@ -145,10 +146,12 @@ def test_fcos_batch_norm_stats_update():
     ftr = FCOSTrainer(cfg, TrainConfig(bf16=False, lr=1e-3),
                       steps_per_epoch=10, backbone_norm="frozen")
     fstate = ftr.init_state(jax.random.PRNGKey(0))
+    fbs_before = [np.asarray(l) for l in
+                  jax.tree_util.tree_leaves(fstate.batch_stats)]
     nstate, _ = ftr.train_step(fstate, batch)
     same = all(
-        np.array_equal(np.asarray(a), np.asarray(b))
-        for a, b in zip(jax.tree_util.tree_leaves(fstate.batch_stats),
+        np.array_equal(a, np.asarray(b))
+        for a, b in zip(fbs_before,
                         jax.tree_util.tree_leaves(nstate.batch_stats)))
     assert same
 
