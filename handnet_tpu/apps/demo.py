@@ -146,6 +146,7 @@ def main(argv=None):
     results = []
     times = []
     for i, (rgb, depth) in enumerate(source.frames()):
+        rgb_disp = rgb  # original (un-mirrored) frame, for overlays
         if args.flip_left:
             rgb = rgb[:, ::-1].copy()
             depth = depth[:, ::-1].copy()
@@ -180,10 +181,19 @@ def main(argv=None):
                 uvd[None], frame_result["box"][None],
                 np.asarray(args.paras, np.float32)[None], crop, crop))[0]
         if mesh_fn is not None and frame_result["found"]:
-            uv = frame_result["joints_uvd"][:, :2]
-            frame_result["mesh"] = mesh_fn(uv)
+            # lift in the NETWORK frame — with --flip-left the lifter sees
+            # the right-hand skeleton it was trained on, not the mirrored
+            # one — then mirror the root-relative verts back to the original
+            # frame so mesh/box/joints stay self-consistent
+            net_uv = np.asarray(out["joints_uvd"][0])[:, :2]
+            verts = np.asarray(mesh_fn(net_uv))
+            if args.flip_left:
+                verts = verts * np.array([-1.0, 1.0, 1.0], np.float32)
+            frame_result["mesh"] = verts
             if overlay_dir is not None:
-                _write_overlay(overlay_dir, i, rgb, frame_result["mesh"],
+                # render onto the original frame: joints_xyz is already in
+                # original-frame camera coordinates after the un-flip above
+                _write_overlay(overlay_dir, i, rgb_disp, verts,
                                mesh_faces, frame_result["joints_xyz"],
                                args.paras)
         results.append(frame_result)

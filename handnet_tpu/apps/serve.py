@@ -171,6 +171,11 @@ class PipelineServer:
             load_calibration(path, self.variables))
 
     def start(self) -> "PipelineServer":
+        # fail loudly if a quant="static" model was never calibrated —
+        # uncalibrated static scales saturate every activation to +-127 and
+        # serve finite garbage (no-op for float/dynamic configs)
+        from handnet_tpu.nn.quant import assert_calibrated
+        assert_calibrated(self.variables)
         self.compile()
         self._stop.clear()
         self._thread = threading.Thread(target=self._serve_loop, daemon=True)
@@ -344,7 +349,8 @@ def main(argv=None):
               for _ in range(8)]
 
     if "static" in (cfg.fcos.quant, cfg.a2j.quant):
-        if args.calib and os.path.exists(args.calib):
+        from handnet_tpu.nn.quant import npz_path
+        if args.calib and os.path.exists(npz_path(args.calib)):
             server.load_calibration(args.calib)
         else:
             server.calibrate(

@@ -188,8 +188,7 @@ def evaluate(trainer, state, test_src, test_ds, args, epoch, monitor):
     evaluator.save_epoch_metrics(os.path.join(args.output, "dexycb_metrics"))
     # per-epoch PCK-curve HTML (reference hpe_eval.py:240-250)
     evaluator.save_pck_curves(
-        os.path.join(args.output, "dexycb_metrics", f"hpe_curve_{epoch}"),
-        epoch)
+        os.path.join(args.output, "dexycb_metrics"), epoch)
     monitor.log_val(epoch, {
         "rmse": float(np.mean(rmses)),
         "mpjpe_ab": results["absolute"]["mpjpe"],

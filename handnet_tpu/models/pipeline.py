@@ -82,28 +82,12 @@ class HandNetPipeline:
                 jnp.zeros((1, self.cfg.pose2mesh.num_joints, 2)))
         return variables
 
-    def __call__(self, variables, images: jnp.ndarray,
-                 depth_images: jnp.ndarray,
-                 paras: Optional[jnp.ndarray] = None
-                 ) -> Dict[str, jnp.ndarray]:
-        """Args:
-          variables: {"detector": ..., "a2j": ...}
-          images: ``[B, H, W, 3]`` RGB in 0-1.
-          depth_images: ``[B, H, W]`` depth in meters (or ``[B, H, W, C]``).
-          paras: optional ``[B, 4]`` intrinsics — when given, also returns XYZ mm.
-
-        Returns dict:
-          joints_uvd ``[B, 21, 3]`` (crop frame), boxes ``[B, 4]`` padded crop
-          boxes, crops ``[B, 176, 176, C]``, found ``[B]`` bool, scores ``[B]``,
-          sides ``[B]``, joints_xyz ``[B, 21, 3]`` mm (when paras given),
-          joints_uvd_full ``[B, 21, 3]`` (full-image UV + depth). With
-          ``pipeline.with_mesh``: verts ``[B, 778, 3]`` root-relative meters
-          and (when paras given) verts_xyz ``[B, 778, 3]`` camera-frame mm.
-        Frames without a detected hand have found=False and zeroed outputs
-        (reference handnet_pipeline.py:107-108).
-        """
+    def _detect_and_crop(self, variables, images: jnp.ndarray,
+                         depth_images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Detector -> best hand box -> padded crop (the pipeline up to the
+        A2J input; reference handnet_pipeline.py:63-102)."""
         cfg = self.cfg
-        b, img_h, img_w = images.shape[0], images.shape[1], images.shape[2]
+        img_h, img_w = images.shape[1], images.shape[2]
         if depth_images.ndim == 3:
             depth_images = depth_images[..., None]
         if cfg.pipeline.rgbd and depth_images.shape[-1] == 4:
@@ -136,6 +120,33 @@ class HandNetPipeline:
             lambda im, bx: crop_resize_nearest(
                 im, bx, cfg.pipeline.crop_size, cfg.pipeline.crop_size)
         )(depth_images, crop_box)                                # [B, S, S, C]
+        return {"found": found, "scores": score, "sides": side,
+                "crop_box": crop_box, "crops": crops}
+
+    def __call__(self, variables, images: jnp.ndarray,
+                 depth_images: jnp.ndarray,
+                 paras: Optional[jnp.ndarray] = None
+                 ) -> Dict[str, jnp.ndarray]:
+        """Args:
+          variables: {"detector": ..., "a2j": ...}
+          images: ``[B, H, W, 3]`` RGB in 0-1.
+          depth_images: ``[B, H, W]`` depth in meters (or ``[B, H, W, C]``).
+          paras: optional ``[B, 4]`` intrinsics — when given, also returns XYZ mm.
+
+        Returns dict:
+          joints_uvd ``[B, 21, 3]`` (crop frame), boxes ``[B, 4]`` padded crop
+          boxes, crops ``[B, 176, 176, C]``, found ``[B]`` bool, scores ``[B]``,
+          sides ``[B]``, joints_xyz ``[B, 21, 3]`` mm (when paras given),
+          joints_uvd_full ``[B, 21, 3]`` (full-image UV + depth). With
+          ``pipeline.with_mesh``: verts ``[B, 778, 3]`` root-relative meters
+          and (when paras given) verts_xyz ``[B, 778, 3]`` camera-frame mm.
+        Frames without a detected hand have found=False and zeroed outputs
+        (reference handnet_pipeline.py:107-108).
+        """
+        cfg = self.cfg
+        stage = self._detect_and_crop(variables, images, depth_images)
+        found, score, side = stage["found"], stage["scores"], stage["sides"]
+        crop_box, crops = stage["crop_box"], stage["crops"]
 
         joints_uvd = self.a2j.predict(variables["a2j"], crops)   # [B, 21, 3]
         joints_uvd = joints_uvd * found[:, None, None]
@@ -193,18 +204,35 @@ class HandNetPipeline:
         """
         from handnet_tpu.models.fcos import preprocess
 
-        net_in, _ = preprocess(images, self.cfg.fcos)
-        _, det_upd = self.detector.module.apply(
-            variables["detector"], net_in, train=False,
-            mutable=["quant_stats"])
+        if getattr(self, "_cal_fns", None) is None:
+            @jax.jit
+            def det_cal(v_det, im):
+                net_in, _ = preprocess(im, self.cfg.fcos)
+                _, upd = self.detector.module.apply(
+                    v_det, net_in, train=False, mutable=["quant_stats"])
+                return upd
+
+            @jax.jit
+            def a2j_cal(v_det, v_a2j, im, d):
+                # only the stages feeding A2J run — the A2J serving forward
+                # with its (still-zero) static scales and the mesh head
+                # would be wasted work here
+                crops = self._detect_and_crop(
+                    {"detector": v_det}, im, d)["crops"]
+                _, upd = self.a2j.module.apply(v_a2j, crops, train=False,
+                                               mutable=["quant_stats"])
+                return upd
+
+            # cache so multi-batch calibration doesn't re-jit per batch
+            self._cal_fns = (det_cal, a2j_cal)
+        det_cal, a2j_cal = self._cal_fns
+
+        det_upd = det_cal(variables["detector"], images)
         det_upd = {k: v for k, v in det_upd.items() if v}  # drop empties
         variables = dict(variables)
         variables["detector"] = {**variables["detector"], **det_upd}
-        if depth_images.ndim == 3:
-            depth_images = depth_images[..., None]
-        crops = self(variables, images, depth_images)["crops"]
-        _, a2j_upd = self.a2j.module.apply(
-            variables["a2j"], crops, train=False, mutable=["quant_stats"])
+        a2j_upd = a2j_cal(variables["detector"], variables["a2j"],
+                          images, depth_images)
         a2j_upd = {k: v for k, v in a2j_upd.items() if v}
         variables["a2j"] = {**variables["a2j"], **a2j_upd}
         return variables

@@ -261,7 +261,8 @@ def normalize_joints_for_pose2mesh_batched(joints2d: jnp.ndarray,
     cx = xmin + w / 2.0
     cy = ymin + h / 2.0
     aspect = input_shape[1] / input_shape[0]
-    new_h = jnp.where(w > aspect * h, w / aspect, h)
+    # only the width of the aspect-fixed box matters: s below is the one
+    # isotropic scale, and the final per-axis standardization absorbs offsets
     new_w = jnp.where(w < aspect * h, h * aspect, w)
     dst_w, dst_h = float(input_shape[1]), float(input_shape[0])
     s = dst_w / jnp.maximum(new_w, 1e-4)

@@ -55,14 +55,22 @@ def _pair(v) -> Tuple[int, int]:
 
 
 def _norm_padding(padding: PaddingLike, kernel_size: Tuple[int, int],
-                  kernel_dilation: Tuple[int, int]) -> Sequence[Tuple[int, int]]:
+                  kernel_dilation: Tuple[int, int],
+                  strides: Tuple[int, int],
+                  in_hw: Tuple[int, int]) -> Sequence[Tuple[int, int]]:
     if isinstance(padding, str):
         if padding.upper() == "SAME":
+            # XLA SAME semantics (out = ceil(in/stride)), which depend on
+            # the input size when stride > 1 — a fixed (eff-1) pad would
+            # shift strided convs one pixel vs the nn.Conv being replaced
             pads = []
-            for k, d in zip(kernel_size, kernel_dilation):
+            for n, k, d, s in zip(in_hw, kernel_size, kernel_dilation,
+                                  strides):
                 eff = (k - 1) * d + 1
-                lo = (eff - 1) // 2
-                pads.append((lo, eff - 1 - lo))
+                out = -(-n // s)
+                total = max((out - 1) * s + eff - n, 0)
+                lo = total // 2
+                pads.append((lo, total - lo))
             return pads
         if padding.upper() == "VALID":
             return [(0, 0), (0, 0)]
@@ -130,7 +138,8 @@ class QuantConv(nn.Module):
             xq, sx = quantize_symmetric(x, axes=(1, 2, 3))   # sx [B,1,1,1]
         acc = jax.lax.conv_general_dilated(
             xq, wq, window_strides=_pair(self.strides),
-            padding=_norm_padding(self.padding, ksize, dilation),
+            padding=_norm_padding(self.padding, ksize, dilation,
+                                  _pair(self.strides), x.shape[1:3]),
             rhs_dilation=dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32)
@@ -156,6 +165,55 @@ def conv_layer(quant: Union[bool, str], *args, **kwargs):
     return nn.Conv(*args, **kwargs)
 
 
+def _walk_quant_stats(variables):
+    """Yield (path, leaf) for every leaf under any ``quant_stats`` node."""
+
+    def flatten(prefix: str, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                yield from flatten(f"{prefix}/{k}", v)
+        else:
+            yield prefix, tree
+
+    def find(prefix: str, tree):
+        if not isinstance(tree, dict):
+            return
+        for k, v in tree.items():
+            p = f"{prefix}/{k}" if prefix else k
+            if k == "quant_stats":
+                yield from flatten(p, v)
+            else:
+                yield from find(p, v)
+
+    yield from find("", variables)
+
+
+def assert_calibrated(variables) -> None:
+    """Raise if any static-int8 ``act_amax`` is still zero.
+
+    An uncalibrated ``quant="static"`` model does not fail — ``sx`` becomes
+    ~1e-8/127, every activation saturates to ±127, and the outputs are
+    finite garbage. Serving entry points call this after variables are
+    final so the failure is loud instead. No-op for float/dynamic configs
+    (no ``quant_stats`` in the tree).
+    """
+    bad = [p for p, leaf in _walk_quant_stats(variables)
+           if float(np.asarray(leaf)) == 0.0]
+    if bad:
+        raise ValueError(
+            f"{len(bad)} static-int8 activation scale(s) are zero — the "
+            f"model was never calibrated (HandNetPipeline.calibrate / "
+            f"load_calibration), or calibration saw all-zero inputs. "
+            f"First: {bad[:3]}")
+
+
+def npz_path(path: str) -> str:
+    """The actual on-disk path for a calibration artifact: ``np.savez``
+    appends ``.npz`` to extension-less paths, so both save and load
+    normalize through this (a bare ``--calib cal`` still round-trips)."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_calibration(path: str, variables) -> int:
     """Persist every ``quant_stats`` collection found in a (possibly nested)
     variables tree as a flat ``.npz``, keyed by tree path.
@@ -166,30 +224,11 @@ def save_calibration(path: str, variables) -> int:
     saved; raises if the tree holds no ``quant_stats`` (a float/dynamic
     config — nothing to persist).
     """
-    flat = {}
-
-    def flatten(prefix: str, tree) -> None:
-        if isinstance(tree, dict):
-            for k, v in tree.items():
-                flatten(f"{prefix}/{k}", v)
-        else:
-            flat[prefix] = np.asarray(tree)
-
-    def find(prefix: str, tree) -> None:
-        if not isinstance(tree, dict):
-            return
-        for k, v in tree.items():
-            p = f"{prefix}/{k}" if prefix else k
-            if k == "quant_stats":
-                flatten(p, v)
-            else:
-                find(p, v)
-
-    find("", variables)
+    flat = {p: np.asarray(leaf) for p, leaf in _walk_quant_stats(variables)}
     if not flat:
         raise ValueError("variables contain no quant_stats collections "
                          "(is the config quant='static'?)")
-    np.savez(path, **flat)
+    np.savez(npz_path(path), **flat)
     return len(flat)
 
 
@@ -201,7 +240,7 @@ def load_calibration(path: str, variables):
     different architecture/config fails loudly instead of silently serving
     part-uncalibrated.
     """
-    data = np.load(path)
+    data = np.load(npz_path(path))
 
     def clone(tree):
         if isinstance(tree, dict):

@@ -292,6 +292,39 @@ def test_calibration_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_c))
 
 
+def test_calibration_extensionless_path_roundtrips(tmp_path):
+    """np.savez appends .npz to extension-less paths — save/load/exists must
+    agree on the real on-disk name (apps/serve.py --calib cal)."""
+    from handnet_tpu.models.pipeline import HandNetPipeline
+    from handnet_tpu.nn.quant import (load_calibration, npz_path,
+                                      save_calibration)
+
+    pipe = HandNetPipeline(load_config(_SMALL_STATIC))
+    vs = pipe.init(jax.random.PRNGKey(0), image_h=64, image_w=96)
+    bare = str(tmp_path / "cal")
+    save_calibration(bare, vs)
+    import os
+    assert os.path.exists(npz_path(bare)) and not os.path.exists(bare)
+    restored = load_calibration(bare, vs)  # bare path loads too
+    assert "quant_stats" in restored["detector"]
+
+
+def test_assert_calibrated_guards_uncalibrated_static():
+    from handnet_tpu.models.pipeline import HandNetPipeline
+    from handnet_tpu.nn.quant import assert_calibrated
+
+    pipe = HandNetPipeline(load_config(_SMALL_STATIC))
+    vs = pipe.init(jax.random.PRNGKey(0), image_h=64, image_w=96)
+    with pytest.raises(ValueError, match="never calibrated"):
+        assert_calibrated(vs)
+    rng = np.random.default_rng(1)
+    vs = pipe.calibrate(
+        vs, jnp.asarray(rng.uniform(size=(1, 64, 96, 3)), jnp.float32),
+        jnp.asarray(rng.uniform(0.3, 1.0, size=(1, 64, 96)), jnp.float32))
+    assert_calibrated(vs)  # calibrated tree passes
+    assert_calibrated({"params": {}})  # float tree: no-op
+
+
 def test_calibration_io_rejects_mismatches(tmp_path):
     from handnet_tpu.models.pipeline import HandNetPipeline
     from handnet_tpu.nn.quant import load_calibration, save_calibration

@@ -246,3 +246,15 @@ def test_static_quant_server_calibrate_and_persist(tmp_path):
         assert np.isfinite(got1[fid]["joints_uvd"]).all()
         np.testing.assert_array_equal(got2[fid]["joints_uvd"],
                                       got1[fid]["joints_uvd"])
+
+
+def test_static_quant_server_refuses_uncalibrated_start():
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG,
+        fcos=dataclasses.replace(CFG.fcos, quant="static"),
+        a2j=dataclasses.replace(CFG.a2j, quant="static"))
+    s = PipelineServer(cfg, batch_size=4, frame_hw=HW, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="never calibrated"):
+        s.start()
