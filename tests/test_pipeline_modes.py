@@ -99,3 +99,33 @@ def test_fused_mesh_pipeline(rng):
         np.testing.assert_allclose(batched[b],
                                    normalize_joints_for_pose2mesh(j[b]),
                                    atol=1e-4)
+
+
+def test_fused_mesh_with_static_quant(rng):
+    """quant='static' composes with pipeline.with_mesh: calibrate() skips
+    the mesh head (nothing feeds back into the conv scales from it) and the
+    fused mesh forward serves finite, properly-masked outputs."""
+    cfg = HandNetConfig(
+        a2j=A2JConfig(crop_h=48, crop_w=48, num_joints=21, quant="static"),
+        fcos=FCOSConfig(image_h=64, image_w=96, max_detections=8,
+                        num_classes=2, score_thresh=0.0, quant="static"),
+        pipeline=PipelineConfig(crop_size=48, with_mesh=True),
+    )
+    pipe = HandNetPipeline(cfg)
+    variables = pipe.init(jax.random.PRNGKey(0))
+    images = jnp.asarray(rng.uniform(size=(2, 48, 64, 3)).astype(np.float32))
+    depth = jnp.asarray(
+        rng.uniform(0.3, 1.0, size=(2, 48, 64)).astype(np.float32))
+    variables = pipe.calibrate(variables, images, depth)
+    from handnet_tpu.nn.quant import assert_calibrated
+    assert_calibrated(variables)
+    paras = jnp.asarray([[600.0, 600.0, 32.0, 24.0]] * 2)
+    out = jax.jit(lambda v, im, d, p: pipe(v, im, d, p))(
+        variables, images, depth, paras)
+    assert out["verts"].shape == (2, 778, 3)
+    assert np.isfinite(np.asarray(out["verts"])).all()
+    assert np.isfinite(np.asarray(out["verts_xyz"])).all()
+    found = np.asarray(out["found"])
+    for b in range(2):
+        if not found[b]:
+            assert np.abs(np.asarray(out["verts"][b])).max() == 0.0
