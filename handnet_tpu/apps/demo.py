@@ -103,18 +103,34 @@ def main(argv=None):
                         help="mirror frames for left-hand tracking (A2J is "
                              "right-hand trained; ros_demo.py:260-262)")
     parser.add_argument("--out", default=None, help="npz of per-frame results")
+    parser.add_argument("--size", type=int, nargs=2, default=[480, 640],
+                        metavar=("H", "W"), help="synthetic frame size")
+    parser.add_argument("--net-size", type=int, nargs=2, default=None,
+                        metavar=("H", "W"),
+                        help="detector input geometry (default: the "
+                             "config's min-800 parity geometry)")
+    parser.add_argument("--crop", type=int, default=176,
+                        help="A2J crop size (176 = reference)")
+    parser.add_argument("--score-thresh", type=float, default=None)
     args = parser.parse_args(argv)
 
-    source = (SyntheticSource(args.frames) if args.source == "synthetic"
-              else FolderSource(args.input))
+    source = (SyntheticSource(args.frames, h=args.size[0], w=args.size[1])
+              if args.source == "synthetic" else FolderSource(args.input))
 
     # converted torch checkpoints need the reference anchor pairing
     # (ops/anchors.py transposed mode; a2j/a2j.py:86-89 permute quirk);
     # num_classes defaults to 3 like ros_demo.py:374 (hand = last class)
+    fcos_kwargs = dict(num_classes=args.num_classes, ext=False)
+    if args.net_size:
+        fcos_kwargs.update(image_h=args.net_size[0],
+                           image_w=args.net_size[1])
+    if args.score_thresh is not None:
+        fcos_kwargs["score_thresh"] = args.score_thresh
     cfg = HandNetConfig(
-        fcos=FCOSConfig(num_classes=args.num_classes, ext=False),
-        a2j=A2JConfig(transposed_anchors=bool(args.a2j_checkpoint)),
-        pipeline=PipelineConfig())
+        fcos=FCOSConfig(**fcos_kwargs),
+        a2j=A2JConfig(transposed_anchors=bool(args.a2j_checkpoint),
+                      crop_h=args.crop, crop_w=args.crop),
+        pipeline=PipelineConfig(crop_size=args.crop))
     pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
     variables = pipe.init(jax.random.PRNGKey(0))
     if args.fcos_checkpoint:

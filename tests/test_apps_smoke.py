@@ -107,3 +107,27 @@ def test_a2j_mesh_smoke(tmp_path):
     a2j_mesh.main(["--synthetic", "1", "--crop", "48", "--limit", "2",
                    "--out", out])
     assert os.path.exists(out)
+
+
+def test_demo_flip_left_mesh_smoke(tmp_path):
+    """Full demo loop with --flip-left --render-mesh at tiny geometry: the
+    lifter sees the network-frame skeleton, verts mirror back, overlays
+    render onto the un-flipped frame (the round-3 review fixes, e2e)."""
+    import os
+
+    import numpy as np
+
+    from handnet_tpu.apps import demo
+
+    out = str(tmp_path / "res.npz")
+    demo.main(["--frames", "3", "--size", "48", "64",
+               "--net-size", "48", "64", "--crop", "32",
+               "--score-thresh", "0.0", "--flip-left", "--render-mesh",
+               "--out", out])
+    data = np.load(out)
+    found = [bool(data[k]) for k in data.files if k.endswith("found")]
+    assert any(found)  # thresh 0: random weights still yield a detection
+    mesh_keys = [k for k in data.files if k.endswith("mesh")]
+    assert mesh_keys and all(np.isfinite(data[k]).all() for k in mesh_keys)
+    overlays = [f for f in os.listdir(tmp_path) if f.startswith("overlay_")]
+    assert overlays
