@@ -61,7 +61,7 @@ def main():
     depth = jnp.asarray(
         rng.uniform(0.3, 1.0, size=(batch, 480, 640)).astype(np.float32))
 
-    if "static" in (cfg.fcos.quant, cfg.a2j.quant):
+    if pipe.needs_calibration():
         # one-pass activation-scale calibration (quant_stats collection)
         variables = pipe.calibrate(variables, images, depth)
 

@@ -190,7 +190,9 @@ def main(argv=None):
                                            np.float32)
             crop = cfg.pipeline.crop_size
             uvd = frame_result["joints_uvd"].copy()
-            uvd[:, 0] = crop - uvd[:, 0]
+            # index-convention mirror, matching the box's w-1-x above
+            # (crop - u would bias the unprojected xyz by one crop pixel)
+            uvd[:, 0] = (crop - 1) - uvd[:, 0]
             frame_result["joints_uvd"] = uvd
             from handnet_tpu.ops.geometry import convert_joints
             frame_result["joints_xyz"] = np.asarray(convert_joints(

@@ -348,7 +348,7 @@ def main(argv=None):
                rng.integers(300, 1000, size=(480, 640), dtype=np.uint16))
               for _ in range(8)]
 
-    if "static" in (cfg.fcos.quant, cfg.a2j.quant):
+    if server.pipe.needs_calibration():
         from handnet_tpu.nn.quant import npz_path
         if args.calib and os.path.exists(npz_path(args.calib)):
             server.load_calibration(args.calib)

@@ -82,6 +82,12 @@ class HandNetPipeline:
                 jnp.zeros((1, self.cfg.pose2mesh.num_joints, 2)))
         return variables
 
+    def needs_calibration(self) -> bool:
+        """True when this config serves static-int8 (``quant="static"``) —
+        a :meth:`calibrate` / ``load_calibration`` pass is required before
+        serving (every entry point gates on this one predicate)."""
+        return "static" in (self.cfg.fcos.quant, self.cfg.a2j.quant)
+
     def _detect_and_crop(self, variables, images: jnp.ndarray,
                          depth_images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Detector -> best hand box -> padded crop (the pipeline up to the

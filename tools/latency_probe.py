@@ -47,20 +47,23 @@ def probe_batch(pipe, variables, batch: int, h: int, w: int,
     depth = jnp.asarray(
         rng.uniform(0.3, 1.0, size=(batch, h, w)).astype(np.float32))
 
-    def step(im, d):
-        out = pipe(variables, im, d)["joints_uvd"]
+    def step(v, im, d):
+        # variables stay a runtime ARGUMENT (like bench.py/serve.py) — as a
+        # closure constant XLA could fold param-only work (e.g. QuantConv's
+        # weight quantization) that real serving pays every call
+        out = pipe(v, im, d)["joints_uvd"]
         # chain: bleed a data-dependent epsilon into the next input so the
         # remote backend cannot overlap/elide iterations
         eps = jnp.tanh(out[0, 0, 0]) * 1e-6
         return im + eps, d
 
     fwd = jax.jit(step)
-    images, depth = fwd(images, depth)            # compile
-    _ = float(np.asarray(images[0, 0, 0, 0]))     # sync
+    images, depth = fwd(variables, images, depth)  # compile
+    _ = float(np.asarray(images[0, 0, 0, 0]))      # sync
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        images, depth = fwd(images, depth)
+        images, depth = fwd(variables, images, depth)
         _ = float(np.asarray(images[0, 0, 0, 0]))  # readback stop-clock
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
@@ -77,7 +80,7 @@ def main(argv=None):
                                              f"{args.profile}.yaml"))
     pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
     variables = pipe.init(jax.random.PRNGKey(0))
-    if "static" in (cfg.fcos.quant, cfg.a2j.quant):
+    if pipe.needs_calibration():
         rng = np.random.default_rng(1)
         variables = pipe.calibrate(
             variables,
