@@ -43,10 +43,12 @@ from handnet_tpu.train.trainer import FCOSTrainer
 
 
 def train_and_eval(ds, train_idx, test_idx, info, image_h, image_w, steps,
-                   batch, num_convs: int = 4, quant_eval: bool = False):
+                   batch, num_convs: int = 4, quant_eval=False):
     """``quant_eval``: train full-precision as always, then run the held-out
-    eval through the dynamic-int8 serving path (nn/quant.py) on the SAME
-    trained params — pricing the quant profile's accuracy cost."""
+    eval through the int8 serving path (nn/quant.py) on the SAME trained
+    params — pricing the quant profile's accuracy cost. ``True`` = dynamic
+    per-sample scales; ``"static"`` = calibrated per-layer scales
+    (calibration runs on TRAIN frames only, never the held-out set)."""
     fcfg = FCOSConfig(num_classes=2, ext=False, image_h=image_h,
                       image_w=image_w, max_detections=8,
                       num_convs=num_convs)
@@ -90,6 +92,18 @@ def train_and_eval(ds, train_idx, test_idx, info, image_h, image_w, steps,
     system = FCOSSystem(dataclasses.replace(fcfg, score_thresh=0.5,
                                             quant=quant_eval))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if quant_eval == "static":
+        # one-pass activation-scale calibration on TRAIN frames (the
+        # held-out eval frames are never seen by calibration)
+        from handnet_tpu.nn.quant import assert_calibrated
+        cal = np.stack([
+            cv2.imread(ds[i]["color_file"])[:, :, ::-1].astype(np.float32)
+            / 255.0 for i in train_idx[:16]])
+        net_in, _ = preprocess(jnp.asarray(cal), fcfg)
+        _, upd = system.module.apply(variables, net_in, train=False,
+                                     mutable=["quant_stats"])
+        variables = {**variables, **{k: v for k, v in upd.items() if v}}
+        assert_calibrated(variables)
     detect = jax.jit(lambda v, im: system.detect(v, im))
 
     annos, dets, ious, found = {}, [], [], 0
@@ -120,7 +134,8 @@ def train_and_eval(ds, train_idx, test_idx, info, image_h, image_w, steps,
     coco = CocoDetEvaluator(annos).evaluate(dets, ["hand"] * len(dets))
     return {
         "resolution": (f"{image_h}x{image_w}@nc{num_convs}"
-                       + ("@q" if quant_eval else "")),
+                       + ("@qs" if quant_eval == "static"
+                          else "@q" if quant_eval else "")),
         "train_seconds": round(train_s, 1),
         "final_loss": round(last, 4),
         "found_rate": round(found / len(test_idx), 4),
@@ -140,10 +155,12 @@ def main(argv=None):
     parser.add_argument("--resolutions", nargs="+",
                         default=["512x640", "800x1088"],
                         help="HxW with optional @-suffixes: @ncN (tower "
-                             "num_convs, default 4) and @q (eval through "
-                             "the dynamic-int8 serving path) — e.g. "
+                             "num_convs, default 4), @q (eval through "
+                             "the dynamic-int8 serving path) and @qs "
+                             "(calibrated static-int8) — e.g. "
                              "480x640@nc2 prices the 'turbo' point, "
-                             "480x640@q the 'quant' point")
+                             "480x640@q the 'quant' point, 480x640@qs "
+                             "the 'quant_static' point")
     args = parser.parse_args(argv)
 
     root = tempfile.mkdtemp(prefix="res_study_")
@@ -164,6 +181,8 @@ def main(argv=None):
                 nc = int(tok[2:])
             elif tok == "q":
                 quant = True
+            elif tok == "qs":
+                quant = "static"
             else:
                 raise ValueError(f"unknown spec suffix @{tok} in {res!r}")
         h, w = (int(x) for x in parts[0].split("x"))

@@ -55,12 +55,16 @@ def main(argv=None):
     parser.add_argument("--image-h", type=int, default=256)
     parser.add_argument("--image-w", type=int, default=352)
     parser.add_argument("--crop", type=int, default=96)
-    parser.add_argument("--quant-eval", action="store_true",
+    parser.add_argument("--quant-eval", nargs="?", const="dynamic",
+                        default=None, choices=["dynamic", "static"],
                         help="also evaluate the trained stages through the "
-                             "dynamic-int8 serving path (nn/quant.py) and "
-                             "report fp-vs-int8 deltas — prices the quant "
-                             "profile on the POSE side (the detector side "
-                             "is priced by tools/resolution_study.py @q)")
+                             "int8 serving path (nn/quant.py) and report "
+                             "fp-vs-int8 deltas — prices the quant profile "
+                             "on the POSE side (the detector side is priced "
+                             "by tools/resolution_study.py @q/@qs). "
+                             "'dynamic' (default when given bare) = "
+                             "per-sample scales; 'static' = calibrated "
+                             "per-layer scales, calibration on TRAIN frames")
     args = parser.parse_args(argv)
 
     root = tempfile.mkdtemp(prefix="synth_val_")
@@ -162,7 +166,10 @@ def main(argv=None):
     from handnet_tpu.models.a2j import A2JSystem, a2j_postprocess
 
     eval_q = None
-    if args.quant_eval:
+    if args.quant_eval == "dynamic":
+        # a2j-only int8 check is dynamic-only: the static path's per-layer
+        # scales are calibrated on the PIPELINE's detector crops, so it is
+        # priced at pipeline level below where that calibration applies
         asys_q = A2JSystem(_dc.replace(acfg, quant=True), norm="batch",
                            dtype=jnp.bfloat16)
         anchors_q = jnp.asarray(asys_q.anchors)
@@ -219,14 +226,33 @@ def main(argv=None):
     }
     fwd = jax.jit(lambda v, im, d, p: pipe(v, im, d, p))
     fwd_q = None
+    variables_q = variables
     if args.quant_eval:
-        cfg_q = HandNetConfig(a2j=_dc.replace(acfg, quant=True),
-                              fcos=_dc.replace(fcfg_eval, quant=True),
+        qmode = True if args.quant_eval == "dynamic" else "static"
+        cfg_q = HandNetConfig(a2j=_dc.replace(acfg, quant=qmode),
+                              fcos=_dc.replace(fcfg_eval, quant=qmode),
                               pipeline=cfg.pipeline)
         pipe_q = HandNetPipeline(cfg_q, dtype=jnp.bfloat16)
         fwd_q = jax.jit(lambda v, im, d, p: pipe_q(v, im, d, p))
 
     import cv2
+
+    if fwd_q is not None and pipe_q.needs_calibration():
+        # static-int8: one-pass activation-scale calibration on TRAIN
+        # frames only (the held-out eval frames are never seen by it)
+        from handnet_tpu.nn.quant import assert_calibrated
+        cal_im, cal_d = [], []
+        for i in train_idx[:16]:
+            sample = ds[i]
+            cal_im.append(cv2.imread(sample["color_file"])[:, :, ::-1]
+                          .astype(np.float32) / 255.0)
+            cal_d.append(cv2.imread(sample["depth_file"],
+                                    cv2.IMREAD_ANYDEPTH)
+                         .astype(np.float32) / 1000.0)
+        variables_q = pipe_q.calibrate(variables,
+                                       jnp.asarray(np.stack(cal_im)),
+                                       jnp.asarray(np.stack(cal_d)))
+        assert_calibrated(variables_q)
 
     found_count = 0
     ious = []
@@ -270,7 +296,7 @@ def main(argv=None):
                 xyz - gt["joints_3d"] * 1000.0, axis=1).mean())
             mpjpes.append(mpjpe)
         if fwd_q is not None:
-            out_q = fwd_q(variables,
+            out_q = fwd_q(variables_q,
                           jnp.asarray(color[None].astype(np.float32) / 255.0),
                           jnp.asarray(depth[None]),
                           jnp.asarray(gt["paras"][None]))
@@ -288,7 +314,8 @@ def main(argv=None):
         print(f"pipeline MPJPE vs planted joints: "
               f"mean {np.mean(mpjpes):.1f} mm")
     if fwd_q is not None:
-        print(f"int8 pipeline: found {found_q}/{len(test_idx)}, MPJPE "
+        print(f"int8[{args.quant_eval}] pipeline: "
+              f"found {found_q}/{len(test_idx)}, MPJPE "
               f"{np.mean(mpjpes_q) if mpjpes_q else float('nan'):.1f} mm "
               f"(fp {np.mean(mpjpes) if mpjpes else float('nan'):.1f})")
     ok = (found_count >= 0.8 * len(test_idx)
