@@ -174,6 +174,71 @@ def test_pipeline_accepts_converted_weights():
     assert np.isfinite(np.asarray(out["joints_uvd"])).all()
 
 
+def test_converted_weights_serve_int8():
+    """The int8 serving claim end to end: the SAME converted torch
+    checkpoint (unchanged fp32 param tree) serves through the calibrated
+    static-int8 pipeline (nn/quant.py; configs/quant_static.yaml flags) and
+    tracks the fp pipeline's outputs. score_thresh=0 so random weights
+    still take the found=True path and the whole detect->crop->pose graph
+    runs real numbers through the quantized convs."""
+    import dataclasses
+
+    from torch_oracles import TorchFCOS
+
+    from handnet_tpu.config import (FCOSConfig, HandNetConfig,
+                                    PipelineConfig)
+    from handnet_tpu.convert.torch_weights import convert_fcos
+    from handnet_tpu.models.pipeline import HandNetPipeline
+
+    tfcos = TorchFCOS(num_classes=3, ext=False)
+    randomize_(tfcos, seed=7, scale=0.05)
+    converted = jax.tree_util.tree_map(
+        jnp.asarray, convert_fcos(state_dict_numpy(tfcos)))
+
+    acfg = A2JConfig(crop_h=48, crop_w=48, transposed_anchors=True)
+    fcfg = FCOSConfig(num_classes=3, ext=False, image_h=64, image_w=96,
+                      max_detections=8, score_thresh=0.0)
+    pcfg = PipelineConfig(crop_size=48)
+
+    def build(quant):
+        cfg = HandNetConfig(
+            a2j=dataclasses.replace(acfg, quant=quant),
+            fcos=dataclasses.replace(fcfg, quant=quant),
+            pipeline=pcfg)
+        pipe = HandNetPipeline(cfg, dtype=jnp.float32)
+        variables = pipe.init(jax.random.PRNGKey(0))
+        # identical fp32 tree: the converted checkpoint replaces the
+        # detector params in BOTH the float and the int8 pipeline
+        _assert_same_tree(converted["params"],
+                          variables["detector"]["params"])
+        variables["detector"] = {**variables["detector"], **converted}
+        return pipe, variables
+
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.uniform(size=(2, 60, 80, 3)).astype(np.float32))
+    depth = jnp.asarray(
+        rng.uniform(0.3, 1.0, size=(2, 60, 80)).astype(np.float32))
+
+    pipe_fp, v_fp = build(False)
+    out_fp = pipe_fp(v_fp, images, depth)
+
+    pipe_q, v_q = build("static")
+    assert pipe_q.needs_calibration()
+    v_q = pipe_q.calibrate(v_q, images, depth)
+    out_q = pipe_q(v_q, images, depth)
+
+    assert bool(np.asarray(out_fp["found"]).all())
+    np.testing.assert_array_equal(np.asarray(out_q["found"]),
+                                  np.asarray(out_fp["found"]))
+    # same best box (the int8 perturbation must not re-rank detections on
+    # this fixed seed) and joints within int8 quantization error
+    np.testing.assert_allclose(np.asarray(out_q["boxes"]),
+                               np.asarray(out_fp["boxes"]), atol=1.0)
+    np.testing.assert_allclose(np.asarray(out_q["joints_uvd"]),
+                               np.asarray(out_fp["joints_uvd"]),
+                               atol=1.5)
+
+
 def test_mano_parity_vs_torch_replica():
     """Batched-einsum jax ManoLayer vs a sequential per-finger torch walk of
     the reference chain (manolayer.py:110-274), on synthetic assets."""
