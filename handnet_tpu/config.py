@@ -87,6 +87,11 @@ class FCOSConfig:
     # True/"dynamic" = per-sample scales; "static" = calibrated per-layer
     # scales (quant_stats collection; see HandNetPipeline.calibrate).
     quant: Any = False
+    # Single-read pallas GroupNorm statistics in the head towers
+    # (ops/pallas_gn.py): exact same math as flax GN, one HBM pass instead
+    # of two + better streaming bandwidth. Inference-only (no custom VJP) —
+    # trainers force it off; parameters are identical either way.
+    pallas_gn: bool = False
 
 
 @dataclass(frozen=True)

@@ -37,6 +37,30 @@ from handnet_tpu.ops.focal import bce_with_logits, sigmoid_focal_loss
 from handnet_tpu.ops.nms import batched_nms_fixed
 
 
+class PallasGroupNormModule(nn.Module):
+    """Drop-in for ``nn.GroupNorm(num_groups, epsilon,
+    use_fast_variance=False)`` with an IDENTICAL parameter tree
+    ({scale, bias} of shape [C], fp32): statistics via the single-HBM-read
+    pallas kernel (ops/pallas_gn.py), normalize in XLA. Inference-only (no
+    VJP); serving flag ``FCOSConfig.pallas_gn``."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from handnet_tpu.ops.pallas_gn import pallas_group_norm
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return pallas_group_norm(
+            x, scale, bias, self.num_groups, eps=self.epsilon,
+            dtype=self.dtype,
+            interpret=jax.default_backend() == "cpu")
+
+
 class ConvTower(nn.Module):
     """num_convs x (conv3x3 + GroupNorm(32) + ReLU), shared across FPN levels
     (reference fcos.py:235-240,355-360). epsilon=1e-5 matches torch GN."""
@@ -45,6 +69,7 @@ class ConvTower(nn.Module):
     num_convs: int = 4
     dtype: Any = jnp.float32
     quant: bool = False  # dynamic-int8 convs (nn/quant.py)
+    pallas_gn: bool = False  # single-read GN stats kernel (serving only)
 
     @nn.compact
     def __call__(self, x):
@@ -56,8 +81,13 @@ class ConvTower(nn.Module):
             # use_fast_variance=False: the E[x^2]-E[x]^2 form can go negative
             # under fp cancellation once activations grow, and rsqrt(neg)
             # NaNs the gradient mid-training (observed at ~step 80)
-            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
-                             use_fast_variance=False, name=f"gn{i}")(x)
+            if self.pallas_gn and self.channels % 128 == 0:
+                x = PallasGroupNormModule(num_groups=32, epsilon=1e-5,
+                                          dtype=self.dtype, name=f"gn{i}")(x)
+            else:
+                x = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                 dtype=self.dtype, use_fast_variance=False,
+                                 name=f"gn{i}")(x)
             x = nn.relu(x)
         return x
 
@@ -95,9 +125,11 @@ class FCOSHead(nn.Module):
         # towers carry the head's FLOPs and take the quant path; the final
         # prediction convs below stay float (tiny FLOPs, accuracy-critical)
         self.cls_tower = ConvTower(c, self.cfg.num_convs, self.dtype,
-                                   quant=self.cfg.quant)
+                                   quant=self.cfg.quant,
+                                   pallas_gn=self.cfg.pallas_gn)
         self.reg_tower = ConvTower(c, self.cfg.num_convs, self.dtype,
-                                   quant=self.cfg.quant)
+                                   quant=self.cfg.quant,
+                                   pallas_gn=self.cfg.pallas_gn)
         prior = self.cfg.prior_prob
         bias_init = nn.initializers.constant(
             -float(np.log((1.0 - prior) / prior)))

@@ -176,6 +176,11 @@ class FCOSTrainer:
         if self.model_cfg.quant:
             # serving-only path — see A2JTrainer
             self.model_cfg = dataclasses.replace(self.model_cfg, quant=False)
+        if self.model_cfg.pallas_gn:
+            # serving-only too: the pallas GN stats kernel has no VJP; the
+            # parameter tree is identical, so train flax / serve pallas
+            self.model_cfg = dataclasses.replace(self.model_cfg,
+                                                 pallas_gn=False)
         self.train_cfg = train_cfg or TrainConfig()
         dtype = jnp.bfloat16 if self.train_cfg.bf16 else jnp.float32
         self.system = FCOSSystem(self.model_cfg, backbone_norm=backbone_norm,

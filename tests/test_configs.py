@@ -75,3 +75,26 @@ def test_quant_composes_onto_parity():
     assert cfg.fcos.quant and cfg.a2j.quant
     assert (cfg.fcos.image_h, cfg.fcos.image_w) == (800, 1088)
     assert cfg.train.batch_size == 128
+
+
+def test_bench_resolve_config_default_and_composition():
+    """bench.py's env resolution: default profile is quant_static (the
+    priced-free int8 serving point of the reference architecture); QUANT
+    and PGN compose onto any profile; PGN=0 is a kill-switch."""
+    import bench
+
+    cfg = bench.resolve_config(env={})
+    assert cfg.fcos.quant == "static" and cfg.a2j.quant == "static"
+    assert (cfg.fcos.image_h, cfg.fcos.image_w) == (480, 640)
+
+    cfg = bench.resolve_config(env={"PROFILE": "fast"})
+    assert cfg.fcos.quant is False and cfg.a2j.quant is False
+
+    cfg = bench.resolve_config(env={"PROFILE": "parity", "QUANT": "static",
+                                    "PGN": "1"})
+    assert cfg.fcos.quant == "static"
+    assert cfg.fcos.pallas_gn is True
+    assert (cfg.fcos.image_h, cfg.fcos.image_w) == (800, 1088)
+
+    cfg = bench.resolve_config(env={"PGN": "0"})
+    assert cfg.fcos.pallas_gn is False
