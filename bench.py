@@ -25,12 +25,26 @@ Operating points live in configs/ and are selected with PROFILE:
 Both run the detector with num_classes=3, ext=False, matching the reference
 pipeline's load_pretrained_fcos (handnet_pipeline/handnet_pipeline.py:14-24).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — and on
+failure {"value": null, "error": ...} instead of hanging: the remote-TPU
+tunnel this runs through can go down for hours (CLAUDE.md), so device work
+is (a) preceded by a watchdog-threaded tunnel probe (tools/tunnel_probe.py:
+tiny matmul + forced host readback, which cannot complete early on this
+backend) and (b) bounded by a global deadline (BENCH_DEADLINE_S, default
+540 s — under the driver's timeout) with the hung phase named in the error.
+Static-int8 profiles load the pre-baked calibration artifact
+(configs/bench_calib.npz, tools/bake_bench_calibration.py) when its shape
+matches, so the driver path compiles ONE graph, not three.
 """
 
 import json
 import os
+import sys
+import threading
 import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 import jax
 
@@ -40,7 +54,6 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 1000.0  # driver target from BASELINE.json
-_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def resolve_config(env=os.environ):
@@ -66,8 +79,39 @@ def resolve_config(env=os.environ):
                                               f"{profile}.yaml"))
 
 
-def main():
+def _status(msg):
+    """Progress heartbeat on stderr — on a hang, the driver's captured tail
+    shows exactly how far the bench got."""
+    print(f"[bench] +{time.perf_counter() - _T0:.1f}s {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _emit(value, error=None):
+    rec = {
+        "metric": "e2e_pipeline_fps_per_chip",
+        "value": round(value, 2) if value is not None else None,
+        "unit": "frames/sec",
+        "vs_baseline": (round(value / BASELINE_FPS, 4)
+                        if value is not None else None),
+    }
+    if error:
+        rec["error"] = error
+    print(json.dumps(rec), flush=True)
+
+
+def bench_calib_path(cfg):
+    """Pre-baked calibration artifact for bench's exact (seed-0 params,
+    seed-0 data) setup — valid for any profile sharing the default quant
+    layer layout; scale VALUES only affect numerics, never timing."""
+    return os.path.join(_REPO, "configs", "bench_calib.npz")
+
+
+def _bench(state):
+    """The measurement; runs in a watchdog-joined worker thread and reports
+    its position through state["phase"] so a mid-flight tunnel death names
+    the hung phase instead of producing a silent rc=124."""
     from handnet_tpu.models.pipeline import HandNetPipeline
+    from handnet_tpu.nn import quant as quantlib
 
     cfg = resolve_config()
     batch = cfg.train.batch_size
@@ -81,27 +125,90 @@ def main():
         rng.uniform(0.3, 1.0, size=(batch, 480, 640)).astype(np.float32))
 
     if pipe.needs_calibration():
-        # one-pass activation-scale calibration (quant_stats collection)
-        variables = pipe.calibrate(variables, images, depth)
+        calib = bench_calib_path(cfg)
+        loaded = False
+        if os.path.exists(calib):
+            try:
+                variables = quantlib.load_calibration(calib, variables)
+                quantlib.assert_calibrated(variables)
+                loaded = True
+                state["phase"] = "loaded pre-baked calibration"
+                _status(f"loaded pre-baked calibration ({calib})")
+            except Exception as e:  # wrong layout for this profile — redo
+                _status(f"pre-baked calibration unusable ({e!r}); "
+                        "falling back to live calibration")
+        if not loaded:
+            # one-pass activation-scale calibration (quant_stats collection)
+            state["phase"] = "calibrate (2 extra compiles)"
+            _status("calibrating (no pre-baked artifact for this profile)")
+            variables = pipe.calibrate(variables, images, depth)
+            _status("calibration done")
 
     fwd = jax.jit(lambda v, im, d: pipe(v, im, d)["joints_uvd"])
     # warmup / compile
+    state["phase"] = "compile+warmup"
+    _status("compiling forward graph (cold cache: minutes through the tunnel)")
     jax.block_until_ready(fwd(variables, images, depth))
+    _status("compiled; timing")
 
+    state["phase"] = "timed loop"
     iters = 40
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(variables, images, depth)
     jax.block_until_ready(out)
+    # forced host readback stop-clock: on the remote backend
+    # block_until_ready can return early for small graphs; for THIS loop
+    # block vs readback clocks were measured to agree to 0.02%
+    # (tools/bench_clock_check.py) — the readback is belt-and-braces.
+    float(np.asarray(out[0, 0, 0]))
     dt = time.perf_counter() - t0
 
-    fps = batch * iters / dt
-    print(json.dumps({
-        "metric": "e2e_pipeline_fps_per_chip",
-        "value": round(fps, 2),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / BASELINE_FPS, 4),
-    }))
+    state["fps"] = batch * iters / dt
+    state["phase"] = "done"
+
+
+_T0 = time.perf_counter()
+
+
+def main():
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "540"))
+    _status(f"profile={os.environ.get('PROFILE', 'quant_static')} "
+            f"deadline={deadline:.0f}s backend={jax.default_backend()}")
+
+    # pre-flight tunnel probe (CLAUDE.md rule): tiny matmul + host readback
+    # in a watchdog thread — a dead tunnel hangs even this, so fail fast
+    # with a parse-able record instead of running to the driver's timeout.
+    from tools.tunnel_probe import probe_device
+    probe_budget = min(60.0, deadline / 4)
+    ok, detail = probe_device(probe_budget)
+    if not ok:
+        _status(f"tunnel probe FAILED ({detail}) — aborting before any "
+                "device work")
+        _emit(None, error=f"tunnel_down ({detail})")
+        # abandoned daemon probe thread may still hold the backend; exit hard
+        os._exit(0)
+    _status(f"tunnel probe ok ({detail}s)")
+
+    state = {"phase": "import"}
+
+    def _run():
+        try:
+            _bench(state)
+        except Exception as e:  # surface real failures as a record too
+            state["error"] = repr(e)
+
+    worker = threading.Thread(target=_run, daemon=True)
+    worker.start()
+    worker.join(max(5.0, deadline - (time.perf_counter() - _T0)))
+    if worker.is_alive():
+        _status(f"DEADLINE after {deadline:.0f}s in phase: {state['phase']}")
+        _emit(None, error=f"deadline_exceeded ({state['phase']})")
+        os._exit(0)  # the worker is stuck in uninterruptible device work
+    if "error" in state:
+        _emit(None, error=state["error"])
+        return
+    _emit(state["fps"])
 
 
 if __name__ == "__main__":

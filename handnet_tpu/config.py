@@ -106,6 +106,14 @@ class PipelineConfig:
     # frame -> joints -> 778-vert MANO-topology mesh path (the reference runs
     # pose2mesh per frame on the host, ros_demo.py:131-168 predict_mesh).
     with_mesh: bool = False
+    # Static-int8 calibration headroom: every calibrated activation amax is
+    # widened by (1 + quant_margin) before serving (nn/quant.apply_margin).
+    # Out-of-calibration-range activations saturate at ±127; the margin
+    # buys immunity to moderate distribution shift (brighter/higher-contrast
+    # frames than calibration saw) at the price of a (1+m)x coarser int8
+    # step in range. Default from tools/int8_saturation_study.py's measured
+    # curve. Only consulted by HandNetPipeline.calibrate for quant="static".
+    quant_margin: float = 0.1
 
 
 @dataclass(frozen=True)

@@ -37,14 +37,25 @@ def synthetic_sequence_number(sequence_dir: str) -> int:
 
 def make_synthetic_dexycb(root: str, n_sequences: int = 2,
                           n_frames: int = 3, seed: int = 0,
-                          h: int = 480, w: int = 640) -> Dict:
+                          h: int = 480, w: int = 640,
+                          difficulty: str = "easy") -> Dict:
     """Create a 1-subject, 1-camera synthetic tree under ``root``.
 
     Returns dict with ground-truth bookkeeping per (seq, frame):
     hand box, joints_3d (m), paras.
+
+    ``difficulty="hard"`` de-saturates the detection task (the easy task's
+    found-rate pins at 1.0, leaving paired accuracy studies no headroom to
+    detect small regressions — round-3 verdict weak-point 4): hands shrink
+    to 28-48 px, the hand color varies per frame, and 3-5 hand-colored
+    clutter rectangles are planted at other depths so color alone no longer
+    identifies the hand.
     """
     import cv2
 
+    if difficulty not in ("easy", "hard"):
+        raise ValueError(f"difficulty must be easy|hard, got {difficulty!r}")
+    hard = difficulty == "hard"
     rng = np.random.default_rng(seed)
     subject = "20200709-subject-01"
     serial = "836212060125"
@@ -71,7 +82,7 @@ def make_synthetic_dexycb(root: str, n_sequences: int = 2,
         for fidx in range(n_frames):
             # place a square "hand" at depth z
             z = float(rng.uniform(0.4, 0.8))
-            hw = int(rng.integers(50, 90))
+            hw = int(rng.integers(28, 48) if hard else rng.integers(50, 90))
             u0 = int(rng.integers(120, w - 240))
             v0 = int(rng.integers(100, h - 200))
 
@@ -93,7 +104,25 @@ def make_synthetic_dexycb(root: str, n_sequences: int = 2,
                                interpolation=cv2.INTER_LINEAR)
             color = np.clip(color.astype(np.int16) + rng.integers(
                 -12, 13, size=(h, w, 3)), 0, 255).astype(np.uint8)
-            color[seg == 255] = (200, 170, 150)
+            hand_color = (
+                tuple(int(c) for c in rng.integers(-25, 26, size=3)
+                      + np.array([200, 170, 150])) if hard
+                else (200, 170, 150))
+            if hard:
+                # hand-colored clutter at non-hand depths: color alone no
+                # longer identifies the hand — the joint-bump texture and
+                # depth structure must carry the detection
+                for _ in range(int(rng.integers(3, 6))):
+                    cw = int(rng.integers(20, 60))
+                    cu = int(rng.integers(0, w - cw))
+                    cv = int(rng.integers(0, h - cw))
+                    patch = (seg[cv:cv + cw, cu:cu + cw] == 0)
+                    jitter = rng.integers(-20, 21, size=3)
+                    color[cv:cv + cw, cu:cu + cw][patch] = np.clip(
+                        np.array(hand_color) + jitter, 0, 255)
+                    dpatch = depth_mm[cv:cv + cw, cu:cu + cw]
+                    dpatch[patch] = int(rng.uniform(1.0, 1.8) * 1000)
+            color[seg == 255] = hand_color
 
             # 21 joints uniformly inside the hand square, consistent 3D.
             # Each joint stamps a depth bump with a joint-specific offset so

@@ -47,6 +47,10 @@ class PallasGroupNormModule(nn.Module):
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    # None: interpret unless the backend can lower Mosaic (TPU platforms —
+    # on any other backend a compiled pallas_call would fail to lower);
+    # True/False: explicit override for on-device debugging
+    interpret: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -55,10 +59,12 @@ class PallasGroupNormModule(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        interpret = self.interpret
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
         return pallas_group_norm(
             x, scale, bias, self.num_groups, eps=self.epsilon,
-            dtype=self.dtype,
-            interpret=jax.default_backend() == "cpu")
+            dtype=self.dtype, interpret=interpret)
 
 
 class ConvTower(nn.Module):

@@ -195,20 +195,25 @@ class HandNetPipeline:
                                     * found[:, None, None])
         return out
 
-    def calibrate(self, variables, images: jnp.ndarray,
-                  depth_images: jnp.ndarray):
+    def calibrate(self, variables, images, depth_images, margin=None):
         """One-pass activation-scale calibration for the static-int8 path
         (``quant="static"``, nn/quant.py).
 
         Records each QuantConv's running activation amax into the
         ``quant_stats`` collection, in serving order: the detector sees the
         frames first, then A2J sees the crops the *calibrated* detector
-        produces (the crop distribution is what A2J serves on). Call with
-        one or more representative batches — amaxes fold with ``max`` so
-        repeated calls only widen the range. A no-op (returns ``variables``
-        unchanged) for float/dynamic-quant configs.
+        produces (the crop distribution is what A2J serves on).
+        ``images``/``depth_images`` may be single batches or sequences of
+        same-shaped batches — amaxes fold with ``max`` across all of them.
+        After the last batch the amaxes are widened by ``1 + margin``
+        (default ``cfg.pipeline.quant_margin``; nn/quant.apply_margin) for
+        saturation headroom against distribution shift — pass your batches
+        in ONE call so the margin is applied once; repeated ``calibrate``
+        calls compound it. A no-op (returns ``variables`` unchanged) for
+        float/dynamic-quant configs.
         """
         from handnet_tpu.models.fcos import preprocess
+        from handnet_tpu.nn.quant import apply_margin
 
         if getattr(self, "_cal_fns", None) is None:
             @jax.jit
@@ -233,14 +238,26 @@ class HandNetPipeline:
             self._cal_fns = (det_cal, a2j_cal)
         det_cal, a2j_cal = self._cal_fns
 
-        det_upd = det_cal(variables["detector"], images)
-        det_upd = {k: v for k, v in det_upd.items() if v}  # drop empties
+        if isinstance(images, (list, tuple)):
+            batches = list(zip(images, depth_images))
+        else:
+            batches = [(images, depth_images)]
+
         variables = dict(variables)
-        variables["detector"] = {**variables["detector"], **det_upd}
-        a2j_upd = a2j_cal(variables["detector"], variables["a2j"],
-                          images, depth_images)
-        a2j_upd = {k: v for k, v in a2j_upd.items() if v}
-        variables["a2j"] = {**variables["a2j"], **a2j_upd}
+        # detector over ALL batches first: the a2j calibration crops with
+        # the detector's final static scales, matching serving
+        for im, _ in batches:
+            det_upd = det_cal(variables["detector"], im)
+            det_upd = {k: v for k, v in det_upd.items() if v}  # drop empties
+            variables["detector"] = {**variables["detector"], **det_upd}
+        for im, d in batches:
+            a2j_upd = a2j_cal(variables["detector"], variables["a2j"], im, d)
+            a2j_upd = {k: v for k, v in a2j_upd.items() if v}
+            variables["a2j"] = {**variables["a2j"], **a2j_upd}
+        if margin is None:
+            margin = self.cfg.pipeline.quant_margin
+        if margin:
+            variables = apply_margin(variables, margin)
         return variables
 
     def detect(self, variables, images: jnp.ndarray):

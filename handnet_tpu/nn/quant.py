@@ -207,6 +207,38 @@ def assert_calibrated(variables) -> None:
             f"First: {bad[:3]}")
 
 
+def apply_margin(variables, margin: float):
+    """Scale every calibrated activation amax by ``1 + margin``.
+
+    The static path clips activations outside the calibrated range at ±127
+    (module docstring); calibration data never covers the true serving
+    distribution's tail, so serving slightly-out-of-range frames (brighter
+    scenes, closer hands) saturates. A headroom margin trades a little
+    in-range resolution (the int8 step grows by ``1+margin``) for immunity
+    to moderate distribution shift. The operating curve is measured by
+    tools/int8_saturation_study.py: margin=0.25 holds the e2e MPJPE at the
+    fp level out to ~2x calibration contrast while pricing in-distribution
+    accuracy at noise level; see PipelineConfig.quant_margin for the shipped
+    default.
+
+    Returns a new tree (input not mutated); no-op when the tree holds no
+    ``quant_stats``. ``margin`` may be negative for study purposes but must
+    be > -1.
+    """
+    if margin <= -1.0:
+        raise ValueError(f"quant margin must be > -1, got {margin}")
+
+    def walk(tree, in_stats: bool):
+        if isinstance(tree, dict):
+            return {k: walk(v, in_stats or k == "quant_stats")
+                    for k, v in tree.items()}
+        if in_stats:
+            return tree * jnp.asarray(1.0 + margin, jnp.float32)
+        return tree
+
+    return walk(variables, False)
+
+
 def npz_path(path: str) -> str:
     """The actual on-disk path for a calibration artifact: ``np.savez``
     appends ``.npz`` to extension-less paths, so both save and load

@@ -96,5 +96,22 @@ def test_bench_resolve_config_default_and_composition():
     assert cfg.fcos.pallas_gn is True
     assert (cfg.fcos.image_h, cfg.fcos.image_w) == (800, 1088)
 
+    # PGN=0 kill-switch must WIN over a profile that turns pallas_gn ON —
+    # no shipped yaml sets it yet, so exercise the real path with a
+    # temporary profile (resolve_config resolves PROFILE inside configs/)
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp_profile = os.path.join(repo, "configs", "_test_pgn_on.yaml")
+    try:
+        with open(tmp_profile, "w") as f:
+            f.write("fcos:\n  pallas_gn: true\n")
+        on = bench.resolve_config(env={"PROFILE": "_test_pgn_on"})
+        assert on.fcos.pallas_gn is True
+        killed = bench.resolve_config(env={"PROFILE": "_test_pgn_on",
+                                           "PGN": "0"})
+        assert killed.fcos.pallas_gn is False
+    finally:
+        os.unlink(tmp_profile)
     cfg = bench.resolve_config(env={"PGN": "0"})
     assert cfg.fcos.pallas_gn is False

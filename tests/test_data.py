@@ -197,3 +197,31 @@ def test_detect_source_uint8_images_equivalent(tmp_path):
     b, _ = preprocess(jnp.asarray(u8["image"][None]), cfg)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_synthetic_hard_difficulty(tmp_path):
+    """difficulty='hard' (smaller hands + hand-colored clutter) keeps the
+    DexYCB tree loadable with consistent GT; used by the paired studies so
+    found-rate isn't saturated (tools/resolution_study.py --difficulty)."""
+    import cv2
+
+    from handnet_tpu.data.dexycb import DexYCBDataset
+    from handnet_tpu.data.synthetic import make_synthetic_dexycb
+
+    root = str(tmp_path / "hard")
+    info = make_synthetic_dexycb(root, n_sequences=2, n_frames=2,
+                                 difficulty="hard")
+    ds = DexYCBDataset("s0", "train", data_dir=root)
+    assert len(ds) > 0
+    for (s, f), gt in info.items():
+        x1, y1, x2, y2 = gt["hand_box"]
+        assert 27 <= (x2 - x1 + 1) <= 48       # smaller hands
+        assert np.isfinite(gt["joints_3d"]).all()
+    s0 = ds[0]
+    color = cv2.imread(s0["color_file"])
+    assert color is not None and color.shape == (480, 640, 3)
+    seg = np.load(s0["label_file"])["seg"]
+    assert (seg == 255).sum() > 0              # the hand survives clutter
+
+    with pytest.raises(ValueError):
+        make_synthetic_dexycb(str(tmp_path / "x"), difficulty="nope")

@@ -355,3 +355,82 @@ def test_trainers_force_quant_off():
     t2 = FCOSTrainer(FCOSConfig(num_classes=2, ext=False, image_h=64,
                                 image_w=96, quant=True))
     assert not t2.model_cfg.quant and not t2.system.module.cfg.quant
+
+
+# ---------------------------------------------------------------------------
+# Calibration saturation margin (nn/quant.apply_margin + pipeline wiring)
+
+
+def test_apply_margin_scales_quant_stats_only():
+    from handnet_tpu.models.pipeline import HandNetPipeline
+    from handnet_tpu.nn.quant import apply_margin
+
+    pipe = HandNetPipeline(load_config(_SMALL_STATIC))
+    vs = pipe.init(jax.random.PRNGKey(0), image_h=64, image_w=96)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(size=(1, 64, 96, 3)), jnp.float32)
+    depth = jnp.asarray(rng.uniform(0.3, 1.0, size=(1, 64, 96)), jnp.float32)
+    base = pipe.calibrate(vs, images, depth, margin=0.0)
+    wide = apply_margin(base, 0.25)
+    for b, w in zip(jax.tree.leaves(base["detector"]["quant_stats"]),
+                    jax.tree.leaves(wide["detector"]["quant_stats"])):
+        np.testing.assert_allclose(float(w), 1.25 * float(b), rtol=1e-6)
+    # params untouched (same objects is fine; values must be equal)
+    for b, w in zip(jax.tree.leaves(base["detector"]["params"]),
+                    jax.tree.leaves(wide["detector"]["params"])):
+        assert b is w or bool(jnp.all(b == w))
+    with pytest.raises(ValueError):
+        apply_margin(base, -1.0)
+
+
+def test_calibrate_uses_config_margin_and_multibatch_folds_once():
+    from handnet_tpu.models.pipeline import HandNetPipeline
+
+    cfg = load_config({**_SMALL_STATIC, "pipeline": {"crop_size": 32,
+                                                     "quant_margin": 0.1}})
+    pipe = HandNetPipeline(cfg)
+    vs = pipe.init(jax.random.PRNGKey(0), image_h=64, image_w=96)
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.uniform(size=(1, 64, 96, 3)), jnp.float32)
+    depth = jnp.asarray(rng.uniform(0.3, 1.0, size=(1, 64, 96)), jnp.float32)
+
+    raw = pipe.calibrate(vs, images, depth, margin=0.0)
+    dflt = pipe.calibrate(vs, images, depth)          # config margin (0.1)
+    multi = pipe.calibrate(vs, [images, images], [depth, depth])
+    for r, d, m in zip(jax.tree.leaves(raw["a2j"]["quant_stats"]),
+                       jax.tree.leaves(dflt["a2j"]["quant_stats"]),
+                       jax.tree.leaves(multi["a2j"]["quant_stats"])):
+        np.testing.assert_allclose(float(d), 1.1 * float(r), rtol=1e-6)
+        # same batch twice = same amax; margin applied ONCE, not per batch
+        np.testing.assert_allclose(float(m), float(d), rtol=1e-6)
+
+
+def test_margin_restores_accuracy_on_out_of_range_inputs():
+    """The failure mode the margin exists for: serve inputs hotter than
+    calibration saw. With margin 0 the activations clip at the calibrated
+    amax; a margin covering the shift restores float-level agreement."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
+    kwargs = dict(features=16, kernel_size=(3, 3), padding=1)
+    conv_f = nn.Conv(**kwargs)
+    variables = conv_f.init(jax.random.PRNGKey(1), x)
+
+    conv_s = QuantConv(**kwargs, static_scale=True)
+    vs0 = conv_s.init(jax.random.PRNGKey(1), x)
+    _, upd = conv_s.apply({**variables, "quant_stats": vs0["quant_stats"]},
+                          x, mutable=["quant_stats"])
+
+    from handnet_tpu.nn.quant import apply_margin
+
+    hot = 2.0 * x  # beyond the calibrated range
+    ref = conv_f.apply(variables, hot)
+
+    def rel_err(margin):
+        cal = apply_margin({**variables, **upd}, margin)
+        out = conv_s.apply(cal, hot)
+        return float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+
+    clipped, covered = rel_err(0.0), rel_err(1.0)
+    assert clipped > 0.15, clipped          # saturation visibly wrong
+    assert covered < 0.03, covered          # margin recovers float accuracy
+    assert covered < clipped / 5

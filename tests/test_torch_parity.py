@@ -291,3 +291,95 @@ def test_a2j_parity_vs_torch_replica():
     uvd = np.asarray(system.predict(
         variables, jnp.asarray(np.transpose(depth, (0, 2, 3, 1)))))
     np.testing.assert_allclose(uvd, t_uvd, rtol=1e-3, atol=5e-3)
+
+
+def test_converted_stack_with_mesh_and_static_quant():
+    """The recommended serving stack exactly as a user assembles it: ALL
+    THREE stages from converted checkpoints (detector, A2J, Pose2Mesh),
+    pipeline.with_mesh fused mesh head, quant='static' calibration with the
+    shipped margin — one integration test for the triple composition
+    (separate pairwise tests existed; this is the product configuration)."""
+    import dataclasses
+
+    from torch_oracles import TorchFCOS
+
+    from handnet_tpu.config import (FCOSConfig, HandNetConfig,
+                                    PipelineConfig, Pose2MeshConfig)
+    from handnet_tpu.convert.torch_weights import convert_fcos
+    from handnet_tpu.models.pipeline import HandNetPipeline
+    from handnet_tpu.nn.quant import assert_calibrated
+
+    base = HandNetConfig(
+        a2j=A2JConfig(crop_h=48, crop_w=48, num_joints=21,
+                      transposed_anchors=True),
+        fcos=FCOSConfig(num_classes=3, ext=False, image_h=64, image_w=96,
+                        max_detections=8, score_thresh=0.0),
+        pose2mesh=Pose2MeshConfig(posenet_hid=128),
+        pipeline=PipelineConfig(crop_size=48, with_mesh=True))
+
+    def build(quant):
+        cfg = dataclasses.replace(
+            base, a2j=dataclasses.replace(base.a2j, quant=quant),
+            fcos=dataclasses.replace(base.fcos, quant=quant))
+        pipe = HandNetPipeline(cfg, dtype=jnp.float32)
+        return pipe, pipe.init(jax.random.PRNGKey(0))
+
+    pipe, variables = build("static")
+
+    # --- converted checkpoints for all three stages --------------------
+    tfcos = TorchFCOS(num_classes=3, ext=False)
+    randomize_(tfcos, seed=7, scale=0.05)
+    det = jax.tree_util.tree_map(
+        jnp.asarray, convert_fcos(state_dict_numpy(tfcos)))
+
+    ta2j = TorchA2J(num_joints=21)
+    randomize_(ta2j, seed=8, scale=0.05)
+    a2j = jax.tree_util.tree_map(
+        jnp.asarray, convert_a2j(state_dict_numpy(ta2j)))
+
+    laps = list(pipe._pyramid.laplacians)
+    del laps[-2]  # meshnet.py:38 skips the second-finest level
+    tp2m = TorchFlatPose2Mesh(laps, num_joints=21, hid=128, stages=2)
+    randomize_(tp2m, seed=9)
+    p2m = jax.tree_util.tree_map(
+        jnp.asarray, convert_pose2mesh(state_dict_numpy(tp2m)))
+
+    for conv, init in ((det, variables["detector"]),
+                       (a2j, variables["a2j"]),
+                       (p2m, variables["pose2mesh"])):
+        _assert_same_tree(conv["params"], init["params"])
+        _assert_same_tree(conv["batch_stats"], init["batch_stats"])
+    variables["detector"] = {**variables["detector"], **det}
+    variables["a2j"] = {**variables["a2j"], **a2j}
+    variables["pose2mesh"] = {**variables["pose2mesh"], **p2m}
+
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(rng.uniform(size=(2, 60, 80, 3)).astype(np.float32))
+    depth = jnp.asarray(
+        rng.uniform(0.3, 1.0, size=(2, 60, 80)).astype(np.float32))
+    paras = jnp.asarray([[600.0, 600.0, 40.0, 30.0]] * 2)
+
+    assert pipe.needs_calibration()
+    variables = pipe.calibrate(variables, images, depth)  # default margin
+    assert_calibrated(variables)
+    out = jax.jit(lambda v, im, d, p: pipe(v, im, d, p))(
+        variables, images, depth, paras)
+
+    # fp stack from the SAME converted checkpoints tracks the int8 stack
+    pipe_fp, v_fp = build(False)
+    v_fp["detector"] = {**v_fp["detector"], **det}
+    v_fp["a2j"] = {**v_fp["a2j"], **a2j}
+    v_fp["pose2mesh"] = {**v_fp["pose2mesh"], **p2m}
+    out_fp = pipe_fp(v_fp, images, depth, paras)
+
+    assert bool(np.asarray(out_fp["found"]).all())
+    np.testing.assert_array_equal(np.asarray(out["found"]),
+                                  np.asarray(out_fp["found"]))
+    assert out["verts"].shape == (2, 778, 3)
+    assert np.isfinite(np.asarray(out["verts"])).all()
+    assert np.isfinite(np.asarray(out["verts_xyz"])).all()
+    np.testing.assert_allclose(np.asarray(out["joints_uvd"]),
+                               np.asarray(out_fp["joints_uvd"]), atol=1.5)
+    # mesh rides the joints: int8 perturbation stays at joint scale
+    np.testing.assert_allclose(np.asarray(out["verts_xyz"]),
+                               np.asarray(out_fp["verts_xyz"]), atol=5.0)

@@ -152,6 +152,13 @@ def main(argv=None):
     parser.add_argument("--frames", type=int, default=6)
     parser.add_argument("--steps", type=int, default=500)
     parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--difficulty", default="easy",
+                        choices=["easy", "hard"],
+                        help="'hard' plants 28-48px hands + hand-colored "
+                             "clutter (data/synthetic.py) so found-rate "
+                             "is not saturated at 1.0 — use for paired "
+                             "fp-vs-int8 / nc4-vs-nc2 comparisons that "
+                             "need detection headroom")
     parser.add_argument("--resolutions", nargs="+",
                         default=["512x640", "800x1088"],
                         help="HxW with optional @-suffixes: @ncN (tower "
@@ -165,7 +172,8 @@ def main(argv=None):
 
     root = tempfile.mkdtemp(prefix="res_study_")
     info = make_synthetic_dexycb(root, n_sequences=args.sequences,
-                                 n_frames=args.frames)
+                                 n_frames=args.frames,
+                                 difficulty=args.difficulty)
     ds = DexYCBDataset("s0", "train", data_dir=root)
     n = len(ds)
     train_idx = [i for i in range(n) if i % 5 != 4]
@@ -189,6 +197,7 @@ def main(argv=None):
         results.append(train_and_eval(ds, train_idx, test_idx, info, h, w,
                                       args.steps, args.batch, num_convs=nc,
                                       quant_eval=quant))
+        results[-1]["difficulty"] = args.difficulty
         print(json.dumps(results[-1]), flush=True)
     print(json.dumps({"study": results}))
 

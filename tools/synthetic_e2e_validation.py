@@ -56,16 +56,27 @@ def main(argv=None):
     parser.add_argument("--image-w", type=int, default=352)
     parser.add_argument("--crop", type=int, default=96)
     parser.add_argument("--quant-eval", nargs="?", const="dynamic",
-                        default=None, choices=["dynamic", "static"],
-                        help="also evaluate the trained stages through the "
-                             "int8 serving path (nn/quant.py) and report "
+                        default="static",
+                        choices=["dynamic", "static", "none"],
+                        help="evaluate the trained stages through the int8 "
+                             "serving path (nn/quant.py) and report "
                              "fp-vs-int8 deltas — prices the quant profile "
                              "on the POSE side (the detector side is priced "
                              "by tools/resolution_study.py @q/@qs). "
-                             "'dynamic' (default when given bare) = "
-                             "per-sample scales; 'static' = calibrated "
-                             "per-layer scales, calibration on TRAIN frames")
+                             "'static' (the DEFAULT, and part of the PASS "
+                             "criteria: a change that breaks calibration "
+                             "or int8 numerics fails this gate) = "
+                             "calibrated per-layer scales, calibration on "
+                             "TRAIN frames; 'dynamic' = per-sample scales; "
+                             "'none' = fp only")
+    parser.add_argument("--save-state", default=None, metavar="PATH",
+                        help="serialize the trained fcos/a2j states + their "
+                             "configs (flax msgpack) so downstream studies "
+                             "(tools/int8_saturation_study.py) can reuse "
+                             "the trained weights without retraining")
     args = parser.parse_args(argv)
+    if args.quant_eval == "none":
+        args.quant_eval = None
 
     root = tempfile.mkdtemp(prefix="synth_val_")
     info = make_synthetic_dexycb(root, n_sequences=args.sequences,
@@ -153,6 +164,14 @@ def main(argv=None):
             if step >= args.a2j_steps:
                 break
     print(f"a2j: {afirst:.3f} -> {alast:.3f} ({time.time() - t0:.0f}s)")
+
+    if args.save_state:
+        from handnet_tpu.utils.statepack import save_trained_states
+        save_trained_states(args.save_state, fstate, fcfg, astate, acfg,
+                            synth={"sequences": args.sequences,
+                                   "frames": args.frames,
+                                   "crop": args.crop})
+        print(f"trained states -> {args.save_state}")
 
     # A2J-only sanity: MPJPE on its own (seg-box) crops of the held-out set
     from handnet_tpu.ops.geometry import convert_joints as _cj
@@ -321,6 +340,12 @@ def main(argv=None):
     ok = (found_count >= 0.8 * len(test_idx)
           and ious and np.mean(ious) > 0.5
           and mpjpes and np.mean(mpjpes) < 60.0)
+    if fwd_q is not None:
+        # the int8 serving path is part of the default PASS criteria: a
+        # change that breaks calibration or int8 numerics fails this gate,
+        # not just the unit tests (same absolute bars as the fp path)
+        ok = (ok and found_q >= 0.8 * len(test_idx)
+              and mpjpes_q and np.mean(mpjpes_q) < 60.0)
     print("VALIDATION:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
