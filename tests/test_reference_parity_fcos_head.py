@@ -65,9 +65,27 @@ def ref_fcos():
         def __init__(self, *a, **k):
             pass
 
+    def _sigmoid_focal_loss(inputs, targets, alpha=0.25, gamma=2,
+                            reduction="none"):
+        """Faithful stand-in for torchvision.ops.sigmoid_focal_loss (the
+        published formula, transcribed for the loss-parity tests below —
+        the only stubbed symbol compute_loss actually executes)."""
+        p = torch.sigmoid(inputs)
+        ce = torch.nn.functional.binary_cross_entropy_with_logits(
+            inputs, targets, reduction="none")
+        p_t = p * targets + (1 - p) * (1 - targets)
+        loss = ce * ((1 - p_t) ** gamma)
+        if alpha >= 0:
+            loss = (alpha * targets + (1 - alpha) * (1 - targets)) * loss
+        if reduction == "mean":
+            return loss.mean()
+        if reduction == "sum":
+            return loss.sum()
+        return loss
+
     tv = _stub_module("torchvision")
     ops = _stub_module("torchvision.ops",
-                       sigmoid_focal_loss=lambda *a, **k: None,
+                       sigmoid_focal_loss=_sigmoid_focal_loss,
                        boxes=types.SimpleNamespace())
     misc = _stub_module("torchvision.ops.misc",
                         FrozenBatchNorm2d=torch.nn.BatchNorm2d)
@@ -194,3 +212,84 @@ def test_fcos_classification_head_level_math(ref_fcos):
                           (out["bbox_ctrness"], t_ctr)]:
             np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
                                        rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("ext", [True, False])
+def test_fcos_matcher_and_loss_match_reference(ref_fcos, ext):
+    """fcos_loss + match_anchors vs the reference's ACTUAL
+    FCOS.compute_loss -> FCOSHead.compute_loss chain (fcos.py:44-178,
+    523-571): center-sampling matcher, focal cls/hand_lr/contact losses,
+    GIoU via the reference's own utils.generalized_box_iou_loss, ctrness
+    BCE on encoded ltrb ratios, and the background-inclusive dxdy MSE
+    quirk. The reference matcher runs with a dummy `self` (it reads only
+    center_sampling_radius + head); its known area-tiebreak bug
+    (fcos.py:563, (y1-x1)*(y2-y1)) never fires here because the planted
+    GTs do not overlap."""
+    from handnet_tpu.config import FCOSConfig
+    from handnet_tpu.models.fcos import anchors_for, fcos_loss
+
+    num_classes, b, m = 3, 2, 3
+    cfg = FCOSConfig(num_classes=num_classes, ext=ext,
+                     image_h=64, image_w=96)
+    anchors, anchor_sizes, level_slices = anchors_for(cfg)
+    n = int(anchors.shape[0])
+    num_per_level = [count for _, count, _ in level_slices]
+
+    rng = np.random.default_rng(21)
+    head = {
+        "cls_logits": rng.normal(size=(b, n, num_classes)).astype(np.float32),
+        "bbox_regression": np.abs(rng.normal(size=(b, n, 4))).astype(np.float32),
+        "bbox_ctrness": rng.normal(size=(b, n, 1)).astype(np.float32),
+        "hand_lr": rng.normal(size=(b, n, 2)).astype(np.float32),
+    }
+    if ext:
+        head["hand_contact_state"] = rng.normal(size=(b, n, 5)).astype(np.float32)
+        # post-forward layout: (raw magnitude, 0.1-normalized dx dy)
+        head["hand_dxdy"] = np.abs(rng.normal(size=(b, n, 3))).astype(np.float32)
+
+    # non-overlapping GT boxes spanning the anchor scale ranges; 2 real +
+    # 1 padding row per image
+    boxes = np.array([
+        [[4.0, 4.0, 28.0, 30.0], [40.0, 30.0, 90.0, 60.0], [0, 0, 0, 0]],
+        [[10.0, 34.0, 26.0, 52.0], [34.0, 2.0, 92.0, 30.0], [0, 0, 0, 0]],
+    ], np.float32)
+    valid = np.array([[True, True, False]] * b)
+    labels = rng.integers(0, num_classes, size=(b, m)).astype(np.int32)
+    box_info = np.concatenate([
+        rng.integers(0, 5, size=(b, m, 1)).astype(np.float32),   # contact
+        rng.integers(0, 2, size=(b, m, 1)).astype(np.float32),   # hand side
+        rng.normal(size=(b, m, 3)).astype(np.float32),           # mag,dx,dy
+    ], axis=-1)
+
+    # ---- reference: dummy self carries exactly what compute_loss reads
+    # conv towers are irrelevant to compute_loss — num_convs=0 keeps the
+    # dummy head trivially constructible
+    thead = ref_fcos.FCOSHead(32, 1, num_classes, num_convs=0, ext=ext)
+    dummy = types.SimpleNamespace(center_sampling_radius=1.5, head=thead)
+    t_targets = []
+    for i in range(b):
+        t_targets.append({
+            "boxes": torch.as_tensor(boxes[i, :2]),
+            "labels": torch.as_tensor(labels[i, :2].astype(np.int64)),
+            "box_info": torch.as_tensor(box_info[i, :2]),
+        })
+    t_head = {k: torch.as_tensor(v) for k, v in head.items()}
+    t_anchors = [torch.as_tensor(np.array(anchors)) for _ in range(b)]
+    with torch.no_grad():
+        t_losses = ref_fcos.FCOS.compute_loss(
+            dummy, t_targets, t_head, t_anchors, num_per_level)
+
+    # ---- ours: padded fixed-shape targets, one vectorized loss
+    targets = {"boxes": jnp.asarray(boxes), "labels": jnp.asarray(labels),
+               "valid": jnp.asarray(valid),
+               "box_info": jnp.asarray(box_info)}
+    losses = fcos_loss({k: jnp.asarray(v) for k, v in head.items()},
+                       targets, anchors, anchor_sizes, level_slices, cfg)
+
+    keys = ["classification", "bbox_regression", "bbox_ctrness", "hand_lr"]
+    if ext:
+        keys += ["hand_contact_state", "hand_dxdy"]
+    for key in keys:
+        np.testing.assert_allclose(
+            float(losses[key]), float(t_losses[key]), rtol=2e-4, atol=1e-6,
+            err_msg=f"loss {key!r} diverges from reference compute_loss")
