@@ -55,6 +55,16 @@ class PipelineServer:
         microbatch is sharded over it (params replicated), so serving
         throughput scales with chip count; ``batch_size`` must be a
         multiple of ``mesh.size``.
+      batch_buckets: optional batch-size ladder, e.g. ``(1, 8, 32)``. A
+        collected microbatch of n frames is padded only to the SMALLEST
+        bucket >= n (``batch_size`` is always the top rung), instead of
+        always to ``batch_size`` — a 1-frame trickle runs the batch-1
+        graph, not 1 real + 127 padding frames through the batch-128 one.
+        Throughput under load is unchanged (full batches still ride the
+        top bucket); tail latency under light load drops by roughly the
+        ratio of bucket sizes. Cost: one compiled graph per bucket
+        (pre-warmed in :meth:`compile`); jit specializes per shape, so no
+        extra plumbing. Default None = single-bucket (classic) behavior.
     """
 
     def __init__(self, cfg: Optional[HandNetConfig] = None,
@@ -67,18 +77,30 @@ class PipelineServer:
                  # the fused 778-vert mesh per frame
                  dtype: Any = jnp.bfloat16,
                  quantized_transfer: bool = True,
-                 mesh: Optional[Any] = None):
+                 mesh: Optional[Any] = None,
+                 batch_buckets: Optional[Iterable[int]] = None):
         self.cfg = cfg or HandNetConfig()
         self.batch_size = batch_size
+        buckets = sorted(set(batch_buckets or ()) | {batch_size})
+        if buckets[-1] != batch_size or buckets[0] < 1:
+            raise ValueError(
+                f"batch_buckets {buckets} must lie in [1, batch_size="
+                f"{batch_size}]")
+        self.batch_buckets = tuple(buckets)
+        # dispatch-count per bucket — routing observability (and the hook
+        # the bucket tests assert on)
+        self.bucket_dispatches: Dict[int, int] = {b: 0 for b in buckets}
         # Optional multi-chip serving: batch-shard every microbatch over a
         # jax.sharding.Mesh "data" axis (params replicated) — serving scales
         # by adding chips exactly like the training step does. The wire
         # format/queues are unchanged; XLA handles the host->shards scatter.
         self.mesh = mesh
-        if mesh is not None and batch_size % mesh.size != 0:
-            raise ValueError(
-                f"batch_size {batch_size} must divide over mesh size "
-                f"{mesh.size}")
+        if mesh is not None:
+            bad = [b for b in self.batch_buckets if b % mesh.size != 0]
+            if bad:
+                raise ValueError(
+                    f"batch buckets {bad} must divide over mesh size "
+                    f"{mesh.size}")
         self.frame_hw = frame_hw
         self.flush_timeout = flush_timeout
         self.out_fields = tuple(out_fields)
@@ -116,6 +138,11 @@ class PipelineServer:
         self._frames_done = 0
         self._served_seconds = 0.0
         self._loop_start: Optional[float] = None
+        # submit->result wall time of the last 10k frames (tail-latency
+        # observability; the number the batch-bucket ladder moves)
+        self._latencies: deque = deque(maxlen=10_000)
+        # frames that came back as {"error": ...} instead of results
+        self.error_count = 0
 
     # -- client side --------------------------------------------------------
 
@@ -138,10 +165,14 @@ class PipelineServer:
                 rgb = rgb.astype(np.float32) / 255.0
             if depth.dtype == np.uint16:
                 depth = depth.astype(np.float32) / 1000.0
-        self.inputs.put((stream_id, frame_id, rgb, depth))
+        self.inputs.put((stream_id, frame_id, rgb, depth,
+                         time.perf_counter()))
 
     def get(self, timeout: Optional[float] = None):
-        """Next finished frame: (stream_id, frame_id, {field: np.ndarray})."""
+        """Next finished frame: (stream_id, frame_id, {field: np.ndarray}).
+        If that frame's batch failed on device, the dict is instead
+        {"error": "<repr>"} — the server stays up and keeps serving
+        (``error_count`` tallies these)."""
         return self.results.get(timeout=timeout)
 
     # -- lifecycle -----------------------------------------------------------
@@ -199,14 +230,29 @@ class PipelineServer:
     def compile(self) -> None:
         h, w = self.frame_hw
         im_dt, d_dt = self._wire_dtypes
-        im = jnp.zeros((self.batch_size, h, w, 3), im_dt)
-        d = jnp.zeros((self.batch_size, h, w), d_dt)
-        jax.block_until_ready(self._fwd(self.variables, im, d))
+        for b in self.batch_buckets:  # jit specializes per batch shape
+            im = jnp.zeros((b, h, w, 3), im_dt)
+            d = jnp.zeros((b, h, w), d_dt)
+            jax.block_until_ready(self._fwd(self.variables, im, d))
 
     @property
     def sustained_fps(self) -> float:
         return (self._frames_done / self._served_seconds
                 if self._served_seconds else 0.0)
+
+    def latency_stats(self) -> Dict[str, float]:
+        """Submit->result wall-time percentiles (ms) over the last <=10k
+        served frames: {"count", "p50_ms", "p90_ms", "p99_ms", "max_ms"}.
+        Per-frame latency includes queueing + microbatch flush wait +
+        device time — the client-visible number, not the kernel time."""
+        lat = np.asarray(self._latencies, np.float64)
+        if lat.size == 0:
+            return {"count": 0, "p50_ms": 0.0, "p90_ms": 0.0,
+                    "p99_ms": 0.0, "max_ms": 0.0}
+        p50, p90, p99 = np.percentile(lat, [50, 90, 99]) * 1e3
+        return {"count": int(lat.size), "p50_ms": float(p50),
+                "p90_ms": float(p90), "p99_ms": float(p99),
+                "max_ms": float(lat.max() * 1e3)}
 
     def compute_fps_probe(self, n_batches: int = 16,
                           inflight: int = 2) -> float:
@@ -267,25 +313,47 @@ class PipelineServer:
                   flush=True)
         h, w = self.frame_hw
         n = len(items)
+        # smallest pre-compiled bucket that fits — partial microbatches pay
+        # for their own size, not for batch_size-n frames of padding
+        bucket = next(b for b in self.batch_buckets if b >= n)
+        self.bucket_dispatches[bucket] += 1
         im_dt, d_dt = self._wire_dtypes
-        images = np.zeros((self.batch_size, h, w, 3), im_dt)
-        depths = np.zeros((self.batch_size, h, w), d_dt)
-        for i, (_, _, rgb, dep) in enumerate(items):
+        images = np.zeros((bucket, h, w, 3), im_dt)
+        depths = np.zeros((bucket, h, w), d_dt)
+        for i, (_, _, rgb, dep, _) in enumerate(items):
             images[i] = rgb
             depths[i] = dep
         # numpy in: jit transfers (and, under a mesh, shards) asynchronously
         out = self._fwd(self.variables, images, depths)
-        meta = [(sid, fid) for sid, fid, _, _ in items]
+        meta = [(sid, fid, ts) for sid, fid, _, _, ts in items]
         return out, meta, n
 
     def _complete(self, inflight) -> None:
         out, meta, n = inflight
         host = {k: np.asarray(v) for k, v in out.items()}  # blocks
-        for i, (sid, fid) in enumerate(meta):
+        done = time.perf_counter()
+        for i, (sid, fid, ts) in enumerate(meta):
+            self._latencies.append(done - ts)
             self.results.put((sid, fid, {k: v[i] for k, v in host.items()}))
         self._frames_done += n
         if self._loop_start is not None:
             self._served_seconds = time.perf_counter() - self._loop_start
+
+    def _fail(self, meta, exc: BaseException) -> None:
+        """Deliver a per-frame error result instead of dropping frames — a
+        failed batch must never leave clients blocked in :meth:`get` or
+        kill the serve thread (device/runtime errors surface at dispatch or
+        at the completion readback, e.g. a dropped remote-TPU tunnel)."""
+        self.error_count += len(meta)
+        for sid, fid, ts in meta:
+            self._latencies.append(time.perf_counter() - ts)
+            self.results.put((sid, fid, {"error": repr(exc)}))
+
+    def _safe_complete(self, inflight) -> None:
+        try:
+            self._complete(inflight)
+        except Exception as e:          # readback failed -> error results
+            self._fail(inflight[1], e)
 
     def _serve_loop(self) -> None:
         inflight: deque = deque()
@@ -299,13 +367,17 @@ class PipelineServer:
                 break
             if items is None:           # input idle -> flush oldest batch
                 if inflight:
-                    self._complete(inflight.popleft())
+                    self._safe_complete(inflight.popleft())
                 continue
-            inflight.append(self._dispatch(items))
+            try:
+                inflight.append(self._dispatch(items))
+            except Exception as e:      # dispatch failed -> error results
+                self._fail([(s, f, ts) for s, f, _, _, ts in items], e)
+                continue
             if len(inflight) >= 2:      # double buffer: drain the older one
-                self._complete(inflight.popleft())
+                self._safe_complete(inflight.popleft())
         while inflight:
-            self._complete(inflight.popleft())
+            self._safe_complete(inflight.popleft())
         self._served_seconds = time.perf_counter() - t0
 
 
@@ -322,6 +394,10 @@ def main(argv=None):
     parser.add_argument("--mesh", type=int, default=0,
                         help="shard each microbatch over this many devices "
                              "(0 = single device)")
+    parser.add_argument("--buckets", default=None,
+                        help="comma-separated batch-bucket ladder (e.g. "
+                             "'1,8,32'); partial microbatches pad only to "
+                             "the smallest fitting bucket")
     parser.add_argument("--calib", default=None,
                         help="static-int8 calibration artifact (.npz): "
                              "loaded if it exists, else written after "
@@ -340,7 +416,10 @@ def main(argv=None):
     if args.mesh:
         from handnet_tpu.parallel.mesh import create_mesh
         mesh = create_mesh(args.mesh)
-    server = PipelineServer(cfg, batch_size=args.batch, mesh=mesh)
+    buckets = ([int(b) for b in args.buckets.split(",")]
+               if args.buckets else None)
+    server = PipelineServer(cfg, batch_size=args.batch, mesh=mesh,
+                            batch_buckets=buckets)
 
     rng = np.random.default_rng(0)
     # sensor-native frames: no per-frame float->uint8 conversion on submit
@@ -388,6 +467,11 @@ def main(argv=None):
     server.stop()
     print(f"served {got} frames from {args.streams} host streams: "
           f"{got / dt:.1f} fps sustained")
+    stats = server.latency_stats()
+    print(f"per-frame latency (submit->result): p50 {stats['p50_ms']:.1f} "
+          f"p90 {stats['p90_ms']:.1f} p99 {stats['p99_ms']:.1f} ms")
+    if len(server.batch_buckets) > 1:
+        print(f"bucket dispatches: {server.bucket_dispatches}")
 
 
 if __name__ == "__main__":

@@ -248,6 +248,138 @@ def test_static_quant_server_calibrate_and_persist(tmp_path):
                                       got1[fid]["joints_uvd"])
 
 
+def test_bucketed_server_routes_and_matches_full_batch():
+    """Batch-bucket ladder (r4): a partial microbatch routes to the SMALLEST
+    pre-compiled bucket that fits it — not the full batch_size graph — and
+    the served numbers are identical to the single-bucket server (padding
+    frames must not leak into real slots at any bucket size)."""
+    buck = PipelineServer(CFG, batch_size=8, frame_hw=HW, dtype=jnp.float32,
+                          batch_buckets=(1, 2, 8))
+    mono = PipelineServer(CFG, batch_size=8, frame_hw=HW, dtype=jnp.float32,
+                          variables=buck.variables)
+    assert buck.batch_buckets == (1, 2, 8)
+
+    # routing: drive the dispatcher directly (deterministic — the queue
+    # path's microbatch sizes depend on feeder timing)
+    frames = [_frame(400 + i) for i in range(3)]
+    for n_items, want_bucket in ((1, 1), (2, 2), (3, 8)):
+        items = [(0, i, *_wire(frames[i]), time.perf_counter())
+                 for i in range(n_items)]
+        buck._complete(buck._dispatch(items))
+        assert buck.bucket_dispatches[want_bucket] == 1
+    assert sum(buck.bucket_dispatches.values()) == 3
+
+    got_b = {}
+    while not buck.results.empty():
+        _, fid, out = buck.results.get()
+        got_b.setdefault(fid, []).append(out)
+
+    # equality vs the classic single-bucket server on the same weights
+    mono.start()
+    try:
+        for fid, (rgb, dep) in enumerate(frames):
+            mono.submit(0, fid, rgb, dep)
+        for _ in range(len(frames)):
+            _, fid, out = mono.get(timeout=120)
+            np.testing.assert_allclose(
+                got_b[fid][0]["joints_uvd"], out["joints_uvd"],
+                rtol=1e-5, atol=1e-5)
+    finally:
+        mono.stop()
+
+
+def _wire(frame):
+    rgb, dep = frame
+    return (np.clip(rgb * 255.0, 0, 255).astype(np.uint8),
+            np.clip(dep * 1000.0, 0, 65535).astype(np.uint16))
+
+
+def test_bucketed_server_end_to_end_trickle():
+    """Queue-fed: a single trickled frame through a bucketed server comes
+    back correct (the batch-1 graph really serves), and the top bucket still
+    carries full batches."""
+    s = PipelineServer(CFG, batch_size=4, frame_hw=HW, dtype=jnp.float32,
+                       batch_buckets=(1,), flush_timeout=0.01).start()
+    try:
+        rgb, dep = _frame(500)
+        s.submit("t", 0, rgb, dep)
+        sid, fid, out = s.get(timeout=60)
+        assert (sid, fid) == ("t", 0)
+        assert np.isfinite(out["joints_uvd"]).all()
+        # burst: 8 frames -> the batch-4 top bucket must be exercised too
+        for i in range(8):
+            s.submit("b", i, rgb, dep)
+        for _ in range(8):
+            s.get(timeout=60)
+        assert s.bucket_dispatches[1] >= 1
+        assert sum(s.bucket_dispatches.values()) >= 2
+        stats = s.latency_stats()
+        assert stats["count"] == 9
+        assert 0 < stats["p50_ms"] <= stats["p99_ms"] <= stats["max_ms"]
+    finally:
+        s.stop()
+
+
+def test_failed_batch_returns_error_results_and_server_survives():
+    """Fault isolation (r4): a batch that fails on device (dispatch raise
+    or readback raise) comes back as per-frame {"error": ...} results —
+    clients never hang, the serve thread stays alive, and subsequent
+    batches serve normally."""
+    s = PipelineServer(CFG, batch_size=4, frame_hw=HW, dtype=jnp.float32,
+                       flush_timeout=0.01)
+    real_fwd = s._fwd
+    state = {"fail_next": 0}
+
+    def flaky(v, im, d):
+        if state["fail_next"]:
+            state["fail_next"] -= 1
+            raise RuntimeError("injected device failure")
+        return real_fwd(v, im, d)
+
+    s.start()            # compiles through the real forward
+    s._fwd = flaky
+    state["fail_next"] = 1
+    try:
+        rgb, dep = _frame(600)
+        s.submit(0, 0, rgb, dep)
+        sid, fid, out = s.get(timeout=60)
+        assert (sid, fid) == (0, 0)
+        assert "error" in out and "injected device failure" in out["error"]
+        assert s.error_count == 1
+        # server still serves after the failure
+        s.submit(0, 1, rgb, dep)
+        _, fid, out = s.get(timeout=60)
+        assert fid == 1 and np.isfinite(out["joints_uvd"]).all()
+        # readback-side failure (async error surfacing at np.asarray)
+        class Boom:
+            def items(self):
+                raise RuntimeError("injected readback failure")
+
+        s._fwd = lambda v, im, d: Boom()
+        s.submit(0, 2, rgb, dep)
+        _, fid, out = s.get(timeout=60)
+        assert fid == 2 and "injected readback failure" in out["error"]
+        assert s.error_count == 2
+        s._fwd = real_fwd
+        s.submit(0, 3, rgb, dep)
+        _, fid, out = s.get(timeout=60)
+        assert fid == 3 and np.isfinite(out["joints_uvd"]).all()
+    finally:
+        s.stop()
+
+
+def test_bucket_validation():
+    with pytest.raises(ValueError, match="batch_buckets"):
+        PipelineServer(CFG, batch_size=4, frame_hw=HW, dtype=jnp.float32,
+                       batch_buckets=(1, 16))  # 16 > batch_size
+    from handnet_tpu.parallel.mesh import create_mesh
+    if len(jax.devices()) >= 8:
+        with pytest.raises(ValueError, match="divide over mesh"):
+            PipelineServer(CFG, batch_size=8, frame_hw=HW,
+                           dtype=jnp.float32, mesh=create_mesh(8),
+                           batch_buckets=(1, 8))  # bucket 1 unshardable
+
+
 def test_static_quant_server_refuses_uncalibrated_start():
     import dataclasses
 

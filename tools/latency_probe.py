@@ -13,8 +13,18 @@ next input (no reordering) and the stop-clock is a host readback, so remote
 backends can't return early. Each batch size runs in ITS OWN jitted graph —
 run this in a fresh process per profile to avoid cache cross-talk.
 
+`--server-trickle HZ` instead drives a real PipelineServer at a sparse
+arrival rate (one frame every 1/HZ s, the light-load regime the bucket
+ladder targets) and prints per-frame submit->result percentiles, once
+single-bucket and once with `--buckets` — the apples-to-apples number for
+the batch-bucket feature:
+
+    {"mode": "server_trickle", "buckets": [...], "p50_ms": ..., "p99_ms": ...}
+
 Usage:
     python tools/latency_probe.py [--batches 1,8,32,128] [--profile fast]
+    python tools/latency_probe.py --server-trickle 30 --buckets 1,8 \
+        [--frames 64] [--batch 128]
 """
 
 from __future__ import annotations
@@ -69,15 +79,67 @@ def probe_batch(pipe, variables, batch: int, h: int, w: int,
     return float(np.median(times))
 
 
+def probe_server_trickle(cfg, hz: float, frames: int, batch: int,
+                         buckets) -> dict:
+    """Per-frame submit->result latency of a real PipelineServer under a
+    sparse arrival process — the regime where a partial microbatch
+    otherwise pays for batch_size-1 padding frames of compute."""
+    from handnet_tpu.apps.serve import PipelineServer
+
+    server = PipelineServer(cfg, batch_size=batch, batch_buckets=buckets,
+                            flush_timeout=0.002)
+    if server.pipe.needs_calibration():
+        rng = np.random.default_rng(1)
+        server.calibrate(rng.uniform(size=(4, 480, 640, 3)),
+                         rng.uniform(0.3, 1.0, size=(4, 480, 640)))
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, size=(480, 640, 3), dtype=np.uint8)
+    dep = rng.integers(300, 1000, size=(480, 640), dtype=np.uint16)
+    server.start()
+    try:
+        # warmup frame through the queue path (first-dispatch overheads)
+        server.submit(0, -1, rgb, dep)
+        server.get(timeout=600)
+        server._latencies.clear()
+        period = 1.0 / hz
+        for fid in range(frames):
+            server.submit(0, fid, rgb, dep)
+            server.get(timeout=600)   # closed-loop: strictly sparse
+            time.sleep(period)
+        stats = server.latency_stats()
+    finally:
+        server.stop()
+    return {"mode": "server_trickle", "hz": hz, "batch": batch,
+            "buckets": list(server.batch_buckets),
+            "dispatches": dict(server.bucket_dispatches),
+            "p50_ms": round(stats["p50_ms"], 2),
+            "p90_ms": round(stats["p90_ms"], 2),
+            "p99_ms": round(stats["p99_ms"], 2)}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="1,8,32,128")
     p.add_argument("--profile", default="fast")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--server-trickle", type=float, default=0.0,
+                   help="arrival rate (Hz); measures PipelineServer "
+                        "per-frame latency instead of the batch curve")
+    p.add_argument("--buckets", default=None,
+                   help="batch-bucket ladder for --server-trickle")
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--batch", type=int, default=128)
     args = p.parse_args(argv)
 
     cfg = load_config(yaml_path=os.path.join(_REPO, "configs",
                                              f"{args.profile}.yaml"))
+    if args.server_trickle:
+        buckets = ([int(b) for b in args.buckets.split(",")]
+                   if args.buckets else None)
+        print(json.dumps(probe_server_trickle(
+            cfg, args.server_trickle, args.frames, args.batch, buckets)))
+        return
+
     pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
     variables = pipe.init(jax.random.PRNGKey(0))
     if pipe.needs_calibration():
