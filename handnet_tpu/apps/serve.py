@@ -144,6 +144,51 @@ class PipelineServer:
         # frames that came back as {"error": ...} instead of results
         self.error_count = 0
 
+    @classmethod
+    def from_artifact(cls, path: str,
+                      out_fields: Optional[Iterable[str]] = None,
+                      **kwargs) -> "PipelineServer":
+        """Build a server that runs an AOT-exported artifact
+        (``handnet_tpu.export``) instead of tracing the model: the batch
+        ladder, wire format, geometry, and weights all come from the
+        artifact's manifest, and ``_fwd`` dispatches to the pre-lowered
+        per-bucket StableHLO graphs — model code never runs on the
+        serving host. ``kwargs`` pass through (flush_timeout, ...);
+        ``mesh`` is unsupported (export is single-device)."""
+        from handnet_tpu.export import ServingArtifact
+
+        art = ServingArtifact.load(path)
+        if art.with_xyz:
+            raise ValueError("server wire has no intrinsics: export the "
+                             "serving artifact with with_xyz=False")
+        if kwargs.get("mesh") is not None:
+            raise ValueError("artifact serving is single-device; shard by "
+                             "running one server per chip")
+        exported_fields = art.manifest.get("out_fields")
+        if out_fields is None:
+            out_fields = (tuple(exported_fields) if exported_fields
+                          else ("joints_uvd", "boxes", "found", "scores"))
+        elif exported_fields is not None:
+            missing = set(out_fields) - set(exported_fields)
+            if missing:
+                raise ValueError(f"artifact does not emit {sorted(missing)} "
+                                 f"(exported: {exported_fields})")
+        server = cls(cfg=art.config(),
+                     batch_size=art.buckets[-1],
+                     variables=art.variables,
+                     frame_hw=art.frame_hw,
+                     out_fields=out_fields,
+                     quantized_transfer=art.quantized_wire,
+                     batch_buckets=art.buckets,
+                     **kwargs)
+
+        def fwd_from_artifact(v, im, d):
+            out = art._graphs[im.shape[0]](v, im, d)
+            return {k: o for k, o in out.items() if k in server.out_fields}
+
+        server._fwd = fwd_from_artifact
+        return server
+
     # -- client side --------------------------------------------------------
 
     def submit(self, stream_id, frame_id, rgb: np.ndarray,

@@ -203,6 +203,11 @@ class A2JSystem:
         self.cfg = cfg or A2JConfig()
         self.module = A2J(cfg=self.cfg, norm=norm, dtype=dtype)
         self.anchors = jnp.asarray(anchors_for(self.cfg))
+        # Decode-path override: None = pick by backend (pallas on TPU,
+        # einsum on CPU). handnet_tpu.export sets False so AOT artifacts
+        # lower portably for every export platform (a Mosaic custom-call
+        # can't cross-compile for cpu).
+        self.decode_pallas: Optional[bool] = None
 
     def init(self, rng, batch_size: int = 1):
         x = jnp.zeros((batch_size, self.cfg.crop_h, self.cfg.crop_w,
@@ -214,7 +219,8 @@ class A2JSystem:
 
     def predict(self, variables, x) -> jnp.ndarray:
         heads = self.module.apply(variables, x, train=False)
-        return a2j_postprocess(heads, self.anchors)
+        return a2j_postprocess(heads, self.anchors,
+                               use_pallas=self.decode_pallas)
 
     def loss_and_predict(self, variables, x, gt_uvd, train: bool = True,
                          reg_loss_factor: float = 3.0):
