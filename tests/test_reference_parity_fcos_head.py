@@ -293,3 +293,149 @@ def test_fcos_matcher_and_loss_match_reference(ref_fcos, ext):
         np.testing.assert_allclose(
             float(losses[key]), float(t_losses[key]), rtol=2e-4, atol=1e-6,
             err_msg=f"loss {key!r} diverges from reference compute_loss")
+
+
+# ---------------------------------------------------------------------------
+# postprocess_detections parity (fcos.py:572-659) + resize_boxes (fcos.py:770)
+
+
+def _torch_batched_nms(boxes, scores, labels, iou_threshold):
+    """Faithful stand-in for torchvision.ops.boxes.batched_nms (the published
+    coordinate-offset + greedy-NMS semantics, transcribed — torchvision is
+    not installed in-sandbox). Returns keep indices in descending-score
+    order, exactly like the C++ kernel."""
+    if boxes.numel() == 0:
+        return torch.empty((0,), dtype=torch.int64)
+    max_coord = boxes.max()
+    offsets = labels.to(boxes) * (max_coord + torch.tensor(1.0))
+    shifted = boxes + offsets[:, None]
+    order = torch.argsort(scores, descending=True)
+    keep = []
+    suppressed = torch.zeros(len(order), dtype=torch.bool)
+    areas = (shifted[:, 2] - shifted[:, 0]) * (shifted[:, 3] - shifted[:, 1])
+    for oi, i in enumerate(order.tolist()):
+        if suppressed[oi]:
+            continue
+        keep.append(i)
+        rest = order[oi + 1:]
+        lt = torch.maximum(shifted[i, :2], shifted[rest, :2])
+        rb = torch.minimum(shifted[i, 2:], shifted[rest, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[:, 0] * wh[:, 1]
+        iou = inter / (areas[i] + areas[rest] - inter)
+        suppressed[oi + 1:] |= iou > iou_threshold
+    return torch.as_tensor(keep, dtype=torch.int64)
+
+
+@pytest.mark.parametrize("ext", [True, False])
+def test_fcos_postprocess_detections_matches_reference(ref_fcos, ext):
+    """decode_detections vs the reference's ACTUAL postprocess_detections
+    (fcos.py:572-659): sqrt(sigmoid*sigmoid) scoring, argmax labels, the
+    hard 0.7 mask, BoxLinearCoder decode, sigmoid-argmax sides/contacts,
+    raw dxdy passthrough, and class-aware NMS at IoU 0.3. The reference
+    returns variable-length per-image dicts; ours returns fixed top-K slots
+    with a validity mask — parity means the valid slots equal the
+    reference's kept detections in descending-score order. (The non-ext
+    `feature_idx` output is dead code — no entry point consumes it — and is
+    deliberately not emitted.)"""
+    from handnet_tpu.config import FCOSConfig
+    from handnet_tpu.models.fcos import anchors_for, decode_detections
+
+    num_classes, b = 3, 2
+    cfg = FCOSConfig(num_classes=num_classes, ext=ext,
+                     image_h=64, image_w=96, max_detections=64)
+    anchors, _, level_slices = anchors_for(cfg)
+    n = int(anchors.shape[0])
+    num_per_level = [count for _, count, _ in level_slices]
+
+    rng = np.random.default_rng(33)
+    # mostly-background logits; plant contiguous runs of hot anchors so the
+    # decoded boxes overlap and NMS genuinely suppresses
+    cls = (rng.normal(size=(b, n, num_classes)) * 0.5 - 2.5).astype(np.float32)
+    ctr = (rng.normal(size=(b, n, 1)) * 0.5 - 2.0).astype(np.float32)
+    for i in range(b):
+        starts = rng.choice(n - 6, size=5, replace=False)
+        for s in starts:
+            idx = np.arange(s, s + 5)
+            cls[i, idx, rng.integers(0, num_classes)] += 7.0
+            ctr[i, idx, 0] += 6.0
+    head = {
+        "cls_logits": cls,
+        "bbox_ctrness": ctr,
+        "bbox_regression": rng.uniform(
+            0.5, 1.5, size=(b, n, 4)).astype(np.float32),
+        "hand_lr": rng.normal(size=(b, n, 2)).astype(np.float32),
+    }
+    if ext:
+        head["hand_contact_state"] = rng.normal(
+            size=(b, n, 5)).astype(np.float32)
+        head["hand_dxdy"] = rng.normal(size=(b, n, 3)).astype(np.float32)
+
+    # ---- reference: a bare FCOS instance carrying exactly what
+    # postprocess_detections reads (self.ext, self.box_coder)
+    ref_fcos.box_ops.batched_nms = _torch_batched_nms
+    dummy = object.__new__(ref_fcos.FCOS)
+    dummy.ext = ext
+    dummy.box_coder = ref_fcos.det_utils.BoxLinearCoder(normalize_by_size=True)
+    t_head = {k: torch.as_tensor(v) for k, v in head.items()}
+    t_head["feature_idx"] = torch.zeros((b, n, 1))  # read, then rebuilt
+    t_anchors = [torch.as_tensor(np.array(anchors)) for _ in range(b)]
+    with torch.no_grad():
+        t_dets = ref_fcos.FCOS.postprocess_detections(
+            dummy, t_head, t_anchors, num_per_level)
+
+    # ---- ours: one fixed-shape vectorized decode
+    out = decode_detections({k: jnp.asarray(v) for k, v in head.items()},
+                            anchors, cfg)
+
+    for i in range(b):
+        ref_d = t_dets[i]
+        keep = np.asarray(out["valid"][i])
+        assert int(keep.sum()) == len(ref_d["scores"]), \
+            f"image {i}: kept {int(keep.sum())} vs reference {len(ref_d['scores'])}"
+        np.testing.assert_allclose(
+            np.asarray(out["scores"][i])[keep], ref_d["scores"].numpy(),
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out["boxes"][i])[keep], ref_d["boxes"].numpy(),
+            rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(out["labels"][i])[keep], ref_d["labels"].numpy())
+        np.testing.assert_array_equal(
+            np.asarray(out["sides"][i])[keep], ref_d["sides"].numpy())
+        if ext:
+            np.testing.assert_array_equal(
+                np.asarray(out["contacts"][i])[keep],
+                ref_d["contacts"].numpy())
+            np.testing.assert_allclose(
+                np.asarray(out["dxdymags"][i])[keep],
+                ref_d["dxdymags"].numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_resize_boxes_matches_reference(ref_fcos):
+    """Our decode's scale_to_original rescale vs the reference's actual
+    resize_boxes (fcos.py:770-783, applied by FCOS.postprocess:661-669)."""
+    from handnet_tpu.config import FCOSConfig
+    from handnet_tpu.models.fcos import anchors_for, decode_detections
+
+    cfg = FCOSConfig(num_classes=3, ext=False, image_h=64, image_w=96,
+                     max_detections=16)
+    anchors, _, _ = anchors_for(cfg)
+    n = int(anchors.shape[0])
+    rng = np.random.default_rng(7)
+    head = {
+        "cls_logits": (rng.normal(size=(1, n, 3)) + 2.0).astype(np.float32),
+        "bbox_ctrness": (rng.normal(size=(1, n, 1)) + 2.0).astype(np.float32),
+        "bbox_regression": rng.uniform(0.5, 1.5, (1, n, 4)).astype(np.float32),
+        "hand_lr": rng.normal(size=(1, n, 2)).astype(np.float32),
+    }
+    jhead = {k: jnp.asarray(v) for k, v in head.items()}
+    # network ran at 64x96; the original frame was 160x240 -> scale = new/orig
+    sy, sx = 64.0 / 160.0, 96.0 / 240.0
+    plain = decode_detections(jhead, anchors, cfg)
+    scaled = decode_detections(jhead, anchors, cfg, scale_to_original=(sy, sx))
+    ref_boxes = ref_fcos.resize_boxes(
+        torch.as_tensor(np.array(plain["boxes"][0])),
+        original_size=[64, 96], new_size=[160, 240])
+    np.testing.assert_allclose(np.asarray(scaled["boxes"][0]),
+                               ref_boxes.numpy(), rtol=1e-5, atol=1e-5)
