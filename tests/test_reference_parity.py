@@ -366,3 +366,78 @@ def test_pose2mesh_matches_reference(ref_pose2mesh_net, monkeypatch):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(mesh), tmesh.numpy(),
                                rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Pose2Mesh training losses vs the reference's OWN core/loss.py
+
+
+@pytest.fixture(scope="module")
+def ref_pose2mesh_loss(ref_pose2mesh_net):
+    """Import the reference pose2mesh loss module (core/loss.py) from the
+    mount. Its forwards call ``.cuda()`` unconditionally (loss.py:46,67,91)
+    — shimmed to identity for the CPU-only sandbox, exactly like the
+    injected-buffer ManoLayer harness. ``funcs_utils.stop`` is imported but
+    never executed by the loss classes."""
+    sys.modules["funcs_utils"].stop = lambda *a, **k: None
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        yield _load("ref_p2m_loss", "pose2mesh/lib/core/loss.py")
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+
+def test_pose2mesh_losses_match_reference(ref_pose2mesh_loss):
+    """coord_l1 / normal_vector_loss / edge_length_loss vs the reference's
+    actual CoordLoss / NormalVectorLoss / EdgeLengthLoss (loss.py:10-116):
+    masked mean-L1, |cos(edge, GT normal)| with per-edge L2 normalization,
+    and per-face edge-length L1."""
+    from handnet_tpu.train.pose2mesh_loss import (
+        coord_l1, edge_length_loss, normal_vector_loss)
+
+    rng = np.random.default_rng(17)
+    b, v, nf = 2, 64, 96
+    pred = rng.normal(size=(b, v, 3)).astype(np.float32)
+    gt = rng.normal(size=(b, v, 3)).astype(np.float32)
+    valid = (rng.uniform(size=(b, v, 1)) > 0.3).astype(np.float32)
+    faces = np.stack([rng.choice(v, size=3, replace=False)
+                      for _ in range(nf)]).astype(np.int64)
+
+    t_pred, t_gt = torch.as_tensor(pred), torch.as_tensor(gt)
+    ref_coord = ref_pose2mesh_loss.CoordLoss(has_valid=True)(
+        t_pred, t_gt, torch.as_tensor(valid))
+    ref_normal = ref_pose2mesh_loss.NormalVectorLoss(faces)(t_pred, t_gt)
+    ref_edge = ref_pose2mesh_loss.EdgeLengthLoss(faces)(t_pred, t_gt)
+
+    np.testing.assert_allclose(
+        float(coord_l1(jnp.asarray(pred), jnp.asarray(gt),
+                       jnp.asarray(valid))),
+        float(ref_coord), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        float(normal_vector_loss(jnp.asarray(pred), jnp.asarray(gt), faces)),
+        float(ref_normal), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        float(edge_length_loss(jnp.asarray(pred), jnp.asarray(gt), faces)),
+        float(ref_edge), rtol=1e-5, atol=1e-6)
+
+
+def test_laplacian_loss_matches_reference(ref_pose2mesh_loss):
+    """uniform_laplacian + laplacian_loss vs the reference's actual
+    LaplacianLoss (loss.py:26-59). The reference hard-codes nv=6890 (SMPL —
+    unusable for the 778-vert MANO mesh, dead code on the hand path), so
+    parity is asserted at its native 6890-vertex shape; our builder takes
+    n_verts as a parameter."""
+    from handnet_tpu.train.pose2mesh_loss import (
+        laplacian_loss, uniform_laplacian)
+
+    rng = np.random.default_rng(23)
+    nv, nf = 6890, 200
+    faces = np.stack([rng.choice(512, size=3, replace=False)
+                      for _ in range(nf)]).astype(np.int64)
+    x = rng.normal(size=(2, nv, 3)).astype(np.float32)
+
+    ref = ref_pose2mesh_loss.LaplacianLoss(faces)(torch.as_tensor(x))
+    ours = laplacian_loss(jnp.asarray(x),
+                          jnp.asarray(uniform_laplacian(faces, nv)))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4, atol=1e-6)
