@@ -64,62 +64,107 @@ def lmax(L) -> float:
 
 
 def rescale_laplacian(L, lmax_val: float) -> sp.csr_matrix:
-    """Map eigenvalues into [-1, 1]: L' = 2L/lmax - I (coarsening.py:28-34)."""
+    """Spectral rescale AS THE REFERENCE ACTUALLY COMPUTES IT.
+
+    coarsening.py:31 reads ``L /= lmax * 2`` — i.e. L/(2*lmax) - I, NOT the
+    textbook 2L/lmax - I its comment claims. The published Pose2Mesh
+    checkpoints were trained against this spectrum, so converted weights
+    only reproduce the reference forward if the quirk is preserved
+    (tests/test_reference_parity.py::test_graph_pyramid_matches_reference).
+    """
     M = L.shape[0]
-    return (L * (2.0 / lmax_val) - sp.identity(M, dtype=L.dtype)).tocsr()
+    return (L * (1.0 / (2.0 * lmax_val)) - sp.identity(M, dtype=L.dtype)
+            ).tocsr()
 
 
-def _hem_one_level(W: sp.csr_matrix, rid: np.ndarray) -> np.ndarray:
-    """One heavy-edge-matching pass: greedily pair each unmarked vertex with
-    its best unmarked neighbor by the Graclus metric
-    (2 Wij + Wii + Wjj) / (di + dj) (coarsening.py:153-211 semantics)."""
-    n = W.shape[0]
-    degree = np.asarray(W.sum(axis=0)).ravel()
+def _hem_one_level(rr: np.ndarray, cc: np.ndarray, vv: np.ndarray,
+                   rid: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """One heavy-edge-matching pass over a (row, col, val) triplet list whose
+    ``rr`` axis is sorted ascending.
+
+    Greedy pairing by the Graclus metric, replicating the reference's exact
+    decision sequence (coarsening.py:153-211) — pairing is order-sensitive,
+    so the quirks are behavior, not noise:
+
+    * the per-row scan windows come from a running-count accounting that
+      credits each row's first entry to the PREVIOUS row (coarsening.py:
+      160-165), so row r scans one entry past its true extent and row r+1
+      starts one short;
+    * the "diagonal" terms of the metric are ``vv[rowstart[·]]`` — the
+      first stored edge weight of the row, not W's diagonal
+      (coarsening.py:184-186);
+    * marked neighbors contribute tval=0 and ties keep the first-seen
+      neighbor (strict ``>``).
+    """
+    nnz = len(rr)
+    n = int(rr[nnz - 1]) + 1
     marked = np.zeros(n, bool)
+    rowstart = np.zeros(n, np.int64)
+    rowlength = np.zeros(n, np.int64)
     cluster_id = np.zeros(n, np.int32)
-    indptr, indices, data = W.indptr, W.indices, W.data
-    diag = W.diagonal()
 
-    count = 0
+    prev_row, count = rr[0], 0
+    for k in range(nnz):
+        rowlength[count] += 1
+        if rr[k] > prev_row:
+            prev_row = rr[k]
+            rowstart[count + 1] = k
+            count += 1
+
+    cluster_count = 0
     for tid in rid:
         if marked[tid]:
             continue
         marked[tid] = True
+        rs = rowstart[tid]
         best, best_val = -1, 0.0
-        for k in range(indptr[tid], indptr[tid + 1]):
-            nid = indices[k]
+        for j in range(rowlength[tid]):
+            nid = cc[rs + j]
             if marked[nid]:
                 continue
-            wij = data[k]
-            val = (2.0 * wij + diag[tid] + diag[nid]) / (
-                degree[tid] + degree[nid] + 1e-9)
+            w_ij = vv[rs + j]
+            w_ii = vv[rowstart[tid]]
+            w_jj = vv[rowstart[nid]]
+            val = (2.0 * w_ij + w_ii + w_jj) / (
+                weights[tid] + weights[nid] + 1e-9)
             if val > best_val:
                 best_val, best = val, nid
-        cluster_id[tid] = count
+        cluster_id[tid] = cluster_count
         if best >= 0:
-            cluster_id[best] = count
+            cluster_id[best] = cluster_count
             marked[best] = True
-        count += 1
+        cluster_count += 1
     return cluster_id
 
 
 def hem_coarsen(W: sp.csr_matrix, levels: int
                 ) -> Tuple[List[sp.csr_matrix], List[np.ndarray]]:
-    """Repeated HEM coarsening. Visit order: ascending weighted degree
-    (deterministic, like coarsening.py:92-94)."""
+    """Repeated HEM coarsening, matching the reference's HEM exactly
+    (coarsening.py:67-148): visit order is ascending weighted degree
+    (deterministic — the initial random permutation at coarsening.py:90 is
+    dead code, immediately overwritten by argsort); the pairing weights are
+    degree-minus-diagonal at level 0 but FULL degree (self-loops included)
+    at every coarser level (coarsening.py:96 vs :141)."""
     graphs = [W]
     parents = []
+    degree = np.asarray(W.sum(axis=0)).ravel() - W.diagonal()
     for _ in range(levels):
         rid = np.argsort(np.asarray(W.sum(axis=0)).ravel())
-        cluster_id = _hem_one_level(W.tocsr(), rid)
+        idx_row, idx_col, vals = sp.find(W)
+        # the reference sorts by whichever triplet axis comes out ordered
+        # (coarsening.py:115-121); W is symmetric so the result is a
+        # row-sorted edge list either way
+        if not np.all(idx_row[:-1] <= idx_row[1:]):
+            idx_row, idx_col = idx_col, idx_row
+        cluster_id = _hem_one_level(idx_row, idx_col, vals, rid, degree)
         parents.append(cluster_id)
-        coo = W.tocoo()
         n_new = int(cluster_id.max()) + 1
         W = sp.csr_matrix(
-            (coo.data, (cluster_id[coo.row], cluster_id[coo.col])),
+            (vals, (cluster_id[idx_col], cluster_id[idx_row])),
             shape=(n_new, n_new))
         W.eliminate_zeros()
         graphs.append(W)
+        degree = np.asarray(W.sum(axis=0)).ravel()
     return graphs, parents
 
 
@@ -217,8 +262,13 @@ def build_graph_pyramid(faces: np.ndarray, num_joints: int,
     laplacians[-1] = normalized_laplacian(joint_adj)
 
     dense = []
-    for L in laplacians:
-        L = rescale_laplacian(L, lmax(L))
+    for i, L in enumerate(laplacians):
+        # the reference's rescale loop runs `for i in range(levels)`
+        # (graph_utils.py:91-94), so the substituted joint-graph Laplacian
+        # (the levels-th entry) is deliberately left UNRESCALED — preserve
+        # that: converted checkpoints were trained against it
+        if i < levels:
+            L = rescale_laplacian(L, lmax(L))
         dense.append(np.asarray(L.todense(), np.float32))
 
     return GraphPyramid(

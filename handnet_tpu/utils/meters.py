@@ -74,7 +74,12 @@ class SmoothedValue:
 
     @property
     def median(self) -> float:
-        return float(np.median(self.deque)) if self.deque else 0.0
+        # torch.median semantics (fpn_utils/utils.py:43-45): the LOWER of
+        # the two middle values on even-length windows, not their mean
+        if not self.deque:
+            return 0.0
+        vals = sorted(self.deque)
+        return float(vals[(len(vals) - 1) // 2])
 
     @property
     def avg(self) -> float:

@@ -441,3 +441,197 @@ def test_laplacian_loss_matches_reference(ref_pose2mesh_loss):
     ours = laplacian_loss(jnp.asarray(x),
                           jnp.asarray(uniform_laplacian(faces, nv)))
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Graph pyramid (build_coarse_graphs) vs the reference's OWN
+# graph_utils.py + coarsening.py
+
+
+@pytest.fixture(scope="module")
+def ref_graph_utils():
+    """Import the reference's coarsening.py + graph_utils.py from the mount.
+    coarsening must be importable as `coarsening` for graph_utils's
+    `from coarsening import ...`; both are numpy/scipy-only."""
+    had = "coarsening" in sys.modules
+    old = sys.modules.get("coarsening")
+    _load("coarsening", "pose2mesh/lib/coarsening.py")
+    try:
+        yield _load("ref_graph_utils", "pose2mesh/lib/graph_utils.py")
+    finally:
+        if had:
+            sys.modules["coarsening"] = old
+        else:
+            sys.modules.pop("coarsening", None)
+
+
+def _grid_mesh(rows: int, cols: int) -> np.ndarray:
+    """Manifold triangulated grid — every interior edge shared by exactly
+    two triangles, like the MANO surface."""
+    faces = []
+    for r in range(rows - 1):
+        for c in range(cols - 1):
+            v0 = r * cols + c
+            faces.append([v0, v0 + 1, v0 + cols])
+            faces.append([v0 + 1, v0 + cols + 1, v0 + cols])
+    return np.asarray(faces, np.int64)
+
+
+def test_graph_pyramid_matches_reference(ref_graph_utils):
+    """build_graph_pyramid vs the reference's ACTUAL build_coarse_graphs
+    (graph_utils.py:77-99 + coarsening.py): mesh adjacency from triangles,
+    deterministic HEM coarsening (incl. its first-row-entry 'Wii' metric and
+    rowlength accounting quirks), binary-tree permutation, fake-node
+    padding, normalized Laplacians, the L/(2*lmax) - I rescale as the
+    reference actually computes it (coarsening.py:31 `L /= lmax * 2`), and
+    the joint-graph substitution of the coarsest level (which the
+    reference's rescale loop `range(levels)` never touches). The published
+    Pose2Mesh checkpoints were trained against exactly this pyramid, so the
+    structures must be identical for converted-checkpoint parity."""
+    from handnet_tpu.ops.graph import build_graph_pyramid
+
+    faces = _grid_mesh(8, 8)
+    skeleton = [(i, i + 1) for i in range(20)] + [(0, 5), (0, 9), (0, 13)]
+    levels = 4
+
+    ref_adj, ref_L, ref_perm, ref_rev = ref_graph_utils.build_coarse_graphs(
+        faces, 21, skeleton, [], levels=levels)
+    ours = build_graph_pyramid(faces, 21, skeleton, (), levels=levels)
+
+    assert ours.mesh_sizes == tuple(l.shape[0] for l in ref_L), \
+        "coarsened level sizes diverge from the reference pyramid"
+    np.testing.assert_array_equal(ours.perm, np.asarray(ref_perm[0]))
+    np.testing.assert_array_equal(ours.perm_reverse, np.asarray(ref_rev))
+    for i, (ref_l, our_l) in enumerate(zip(ref_L, ours.laplacians)):
+        np.testing.assert_allclose(
+            our_l, np.asarray(ref_l.todense(), np.float32),
+            rtol=1e-5, atol=1e-6,
+            err_msg=f"level-{i} Laplacian diverges from the reference")
+
+
+# ---------------------------------------------------------------------------
+# Demo-side 2D-joint normalization vs the reference's OWN
+# coord_utils.py / aug_utils.py chain (the ros_demo predict_mesh input path)
+
+
+@pytest.fixture(scope="module")
+def ref_mesh_input(ref_pose2mesh_net):
+    """Import the reference's coord_utils + aug_utils from the mount. Both
+    read cfg.MODEL.input_shape at call time; ros_demo runs them with the
+    pose2mesh default (384, 288) (core/config.py:52)."""
+    sys.modules["core.config"].cfg.MODEL.input_shape = (384, 288)
+    coord = _load("ref_p2m_coord_utils", "pose2mesh/lib/coord_utils.py")
+    sys.modules["coord_utils"] = coord  # aug_utils does `from coord_utils
+    # import get_center_scale`
+    try:
+        yield coord, _load("ref_p2m_aug_utils", "pose2mesh/lib/aug_utils.py")
+    finally:
+        sys.modules.pop("coord_utils", None)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_pose2mesh_input_normalization_matches_reference(ref_mesh_input,
+                                                         seed):
+    """normalize_joints_for_pose2mesh (host + batched in-graph variants) vs
+    the reference's ACTUAL predict_mesh input chain (ros_demo.py:148-157):
+    get_bbox -> process_bbox (incl. its w-1/h-1 sanitize and aspect fix) ->
+    get_center_scale -> cv2 getAffineTransform at rot=0 -> per-joint affine
+    -> divide by input res -> per-axis standardization."""
+    from handnet_tpu.models.pose2mesh import (
+        normalize_joints_for_pose2mesh, normalize_joints_for_pose2mesh_batched)
+
+    coord, aug = ref_mesh_input
+    rng = np.random.default_rng(seed)
+    # pixel-frame joints like the demo feeds (crop UV, various extents)
+    joints = rng.uniform([40, 60], [420, 380], size=(21, 2)).astype(np.float32)
+
+    bbox = coord.get_bbox(joints)
+    bbox2 = coord.process_bbox(bbox.copy())
+    ref_kp, _ = aug.j2d_processing(joints.copy().astype(np.float64),
+                                   (288, 384), bbox2, 0, 0, None)
+    ref_kp = ref_kp[:, :2] / np.array([[288.0, 384.0]])
+    mean, std = ref_kp.mean(axis=0), ref_kp.std(axis=0)
+    ref_norm = (ref_kp - mean) / std
+
+    ours = normalize_joints_for_pose2mesh(joints, input_shape=(384, 288))
+    np.testing.assert_allclose(ours, ref_norm, rtol=1e-4, atol=1e-5)
+
+    batched = normalize_joints_for_pose2mesh_batched(
+        jnp.asarray(joints)[None], input_shape=(384, 288))
+    np.testing.assert_allclose(np.asarray(batched[0]), ref_norm,
+                               rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Dense offset fields vs the reference's OWN utils/feature_tool.py
+
+
+@pytest.fixture(scope="module")
+def ref_feature_tool():
+    return _load("ref_feature_tool", "utils/feature_tool.py")
+
+
+def test_offset_field_matches_reference(ref_feature_tool):
+    """joint2offset / offset2joint_softmax vs the reference's actual
+    FeatureModule (feature_tool.py:10-65): unit-offset + closeness-heatmap
+    encoding over the normalized depth crop (background mask at 0.99) and
+    the softmax(x30)-weighted decode."""
+    from handnet_tpu.ops.offset_field import joint2offset, offset2joint_softmax
+
+    rng = np.random.default_rng(31)
+    b, j, f, hw = 2, 21, 16, 32
+    jt = rng.uniform(-0.9, 0.9, size=(b, j, 3)).astype(np.float32)
+    img = rng.uniform(0.2, 1.1, size=(b, 1, hw, hw)).astype(np.float32)
+
+    fm = ref_feature_tool.FeatureModule()
+    with torch.no_grad():
+        # encode at the feature resolution directly so the two resize
+        # implementations see identity (F.interpolate nearest vs ours) —
+        # resize parity is covered separately below
+        t_field = fm.joint2offset(torch.as_tensor(jt),
+                                  torch.as_tensor(img[:, :, :f, :f]),
+                                  kernel_size=0.8, feature_size=f)
+        t_jt = fm.offset2joint_softmax(t_field,
+                                       torch.as_tensor(img[:, :, :f, :f]),
+                                       kernel_size=0.8)
+
+    field = joint2offset(jnp.asarray(jt), jnp.asarray(img[:, :, :f, :f]),
+                         0.8, f)
+    np.testing.assert_allclose(np.asarray(field), t_field.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    dec = offset2joint_softmax(field, jnp.asarray(img[:, :, :f, :f]), 0.8)
+    np.testing.assert_allclose(np.asarray(dec), t_jt.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+    # downsampled-depth path: torch F.interpolate(nearest) vs _resize_nearest
+    with torch.no_grad():
+        t_field2 = fm.joint2offset(torch.as_tensor(jt), torch.as_tensor(img),
+                                   kernel_size=0.8, feature_size=f)
+    field2 = joint2offset(jnp.asarray(jt), jnp.asarray(img), 0.8, f)
+    np.testing.assert_allclose(np.asarray(field2), t_field2.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Train-loop meters vs the reference's OWN fpn_utils/utils.py
+
+
+def test_smoothed_value_matches_reference():
+    """SmoothedValue windowed stats vs the reference's actual class
+    (fpn_utils/utils.py:11-67), incl. torch.median's lower-middle semantics
+    on even windows and the window/global split."""
+    ref_utils = _load("ref_fpn_train_utils", "fpn_utils/utils.py")
+    from handnet_tpu.utils.meters import SmoothedValue
+
+    rng = np.random.default_rng(13)
+    ref = ref_utils.SmoothedValue(window_size=6)
+    mine = SmoothedValue(window_size=6)
+    for i, v in enumerate(rng.normal(size=17).tolist()):
+        n = 1 + (i % 3)
+        ref.update(v, n=n)
+        mine.update(v, n=n)
+        for prop in ("median", "avg", "global_avg", "max", "value"):
+            np.testing.assert_allclose(
+                getattr(mine, prop), float(getattr(ref, prop)),
+                rtol=1e-6, atol=1e-7, err_msg=f"{prop} at step {i}")
+    assert str(mine) == str(ref)
