@@ -31,7 +31,7 @@ from handnet_tpu.nn.fpn import FPN
 from handnet_tpu.nn.resnet import resnet34
 from handnet_tpu.ops import boxes as box_ops
 from handnet_tpu.ops.anchors import fcos_anchor_pyramid
-from handnet_tpu.ops.focal import smooth_l1
+from handnet_tpu.ops.focal import bce_with_logits, smooth_l1
 from handnet_tpu.ops.nms import nms_fixed
 
 
@@ -151,29 +151,42 @@ class TwoMLPHead(nn.Module):
 
 
 class FastRCNNPredictor(nn.Module):
-    """cls + box deltas + 100DOH extension heads
-    (faster_rcnn_fpn.py:217-282): contact MLP(->5C), dxdy MLP(->3C with
-    relu+L2 on the vector part), side MLP(->C)."""
+    """cls + box deltas + 100DOH extension heads, matching the reference's
+    FastRCNNPredictor.forward exactly (faster_rcnn_fpn.py:227-282):
+
+    * contact: Linear(->32) -> relu -> dropout(0.5) -> Linear(->5C)
+      (faster_rcnn_fpn.py:234-237);
+    * hand_dxdy: a single Linear(->3C) whose FLAT tail ``[:, 1:]`` — all
+      classes' magnitudes and vectors jointly — is L2-normalized and scaled
+      by 0.1 while column 0 passes through raw (faster_rcnn_fpn.py:272-274;
+      the reshape(N,-1,3) downstream makes this a layout quirk of the
+      reference, preserved for checkpoint parity);
+    * hand side: Linear(->C) of per-class binary logits
+      (faster_rcnn_fpn.py:239,270).
+
+    ``train=True`` activates dropout (requires a ``dropout`` rng).
+    """
 
     num_classes: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         c = self.num_classes
         scores = nn.Dense(c, dtype=self.dtype, name="cls_score")(x)
         deltas = nn.Dense(c * 4, dtype=self.dtype, name="bbox_pred")(x)
-        contact = nn.Dense(c * 5, dtype=self.dtype, name="contact_state")(x)
-        dxdy_raw = nn.relu(nn.Dense(c * 3, dtype=self.dtype,
-                                    name="dxdy")(x))
-        dxdy = dxdy_raw.reshape(x.shape[0], c, 3)
-        mag = dxdy[..., :1]
-        vec = dxdy[..., 1:]
-        # eps inside the sqrt: norm's gradient at exactly 0 (common after
-        # relu) is NaN otherwise
-        norm = jnp.sqrt(jnp.sum(vec * vec, axis=-1, keepdims=True) + 1e-12)
-        vec = 0.1 * vec / norm
-        dxdy = jnp.concatenate([mag, vec], -1).reshape(x.shape[0], c * 3)
+        h = nn.relu(nn.Dense(32, dtype=self.dtype, name="contact_fc1")(x))
+        h = nn.Dropout(0.5, deterministic=not train)(h)
+        contact = nn.Dense(c * 5, dtype=self.dtype, name="contact_fc2")(h)
+        dxdy_raw = nn.Dense(c * 3, dtype=self.dtype,
+                            name="dxdy")(x).astype(jnp.float32)
+        tail = dxdy_raw[:, 1:]
+        # F.normalize semantics: v / max(||v||, 1e-12); the +1e-24 under the
+        # sqrt only guards the gradient at exactly 0
+        norm = jnp.maximum(
+            jnp.sqrt(jnp.sum(tail * tail, axis=-1, keepdims=True) + 1e-24),
+            1e-12)
+        dxdy = jnp.concatenate([dxdy_raw[:, :1], 0.1 * tail / norm], axis=1)
         side = nn.Dense(c, dtype=self.dtype, name="hand_side")(x)
         return {"scores": scores, "deltas": deltas, "contact": contact,
                 "dxdy": dxdy, "side": side}
@@ -239,12 +252,12 @@ class FasterRCNNFPN(nn.Module):
         final_boxes = take(top_boxes, final_idx)
         return final_boxes, final_scores, final_scores > -jnp.inf
 
-    def roi_forward(self, pyramid, proposals):
+    def roi_forward(self, pyramid, proposals, train: bool = False):
         """Per-image RoIAlign + heads. proposals [B, R, 4]."""
         def per_image(feats, rois):
             pooled = multiscale_roi_align(list(feats), rois, 7, self.strides)
             x = self.box_head(pooled)
-            return self.predictor(x)
+            return self.predictor(x, train=train)
 
         return jax.vmap(
             lambda *fs_and_rois: per_image(fs_and_rois[:-1], fs_and_rois[-1])
@@ -253,30 +266,49 @@ class FasterRCNNFPN(nn.Module):
     def __call__(self, images, train: bool = False):
         pyramid = self.features(images, train=train)
         proposals, rpn_scores, valid = self.propose(pyramid)
-        head = self.roi_forward(pyramid, proposals)
+        head = self.roi_forward(pyramid, proposals, train=train)
         return {"proposals": proposals, "rpn_scores": rpn_scores,
                 "proposal_valid": valid, **head}
 
 
 def decode_rcnn_detections(outputs: Dict[str, jnp.ndarray], num_classes: int,
                            score_thresh: float = 0.1, nms_thresh: float = 0.5,
-                           max_dets: int = 32) -> Dict[str, jnp.ndarray]:
-    """Per-roi class softmax -> per-class delta decode -> NMS, fixed shape
-    (roi_heads.py:243-326 equivalent)."""
-    probs = jax.nn.softmax(outputs["scores"], axis=-1)      # [B, R, C]
+                           max_dets: int = 32,
+                           image_hw: Tuple[int, int] = None
+                           ) -> Dict[str, jnp.ndarray]:
+    """Fixed-shape version of the reference's RoIHeads.postprocess_detections
+    (roi_heads.py:243-358): per-roi class softmax -> per-class delta decode
+    -> clip to image -> background column dropped -> (roi, class) pairs
+    flattened -> score threshold -> tiny-box removal (min side 1e-2) ->
+    class-aware NMS. Extension outputs per pair: side = per-class
+    sigmoid>0.5 binary (roi_heads.py:261-262), contact = per-class 5-way
+    argmax (:266-267), dxdymags = the normalized head output reshaped
+    (N,C,3) (:265).
+
+    Deviation (documented): the reference keeps every pair past the score
+    threshold and truncates to detections_per_img AFTER NMS; this takes the
+    top ``max_dets`` pairs BEFORE NMS so shapes stay static — identical
+    results whenever <= max_dets pairs pass the threshold.
+    """
+    probs = jax.nn.softmax(outputs["scores"].astype(jnp.float32), axis=-1)
     b, r, c = probs.shape
-    deltas = outputs["deltas"].reshape(b, r, c, 4)
+    deltas = outputs["deltas"].astype(jnp.float32).reshape(b, r, c, 4)
     props = outputs["proposals"]                             # [B, R, 4]
     boxes = box_ops.delta_decode(
         deltas, props[:, :, None, :], weights=(10.0, 10.0, 5.0, 5.0))
+    if image_hw is not None:
+        boxes = box_ops.clip_boxes(boxes, image_hw[0], image_hw[1])
 
     # drop background column 0; flatten (roi, class) pairs
     fg_probs = probs[:, :, 1:].reshape(b, -1)
     fg_boxes = boxes[:, :, 1:, :].reshape(b, -1, 4)
     labels = jnp.broadcast_to(jnp.arange(1, c)[None, None, :],
                               (b, r, c - 1)).reshape(b, -1)
-    valid = (fg_probs > score_thresh) & outputs["proposal_valid"][
-        :, :, None].repeat(c - 1, axis=2).reshape(b, -1)
+    wh = fg_boxes[..., 2:] - fg_boxes[..., :2]
+    not_small = (wh >= 1e-2).all(-1)              # remove_small_boxes
+    valid = ((fg_probs > score_thresh) & not_small
+             & outputs["proposal_valid"][:, :, None]
+             .repeat(c - 1, axis=2).reshape(b, -1))
 
     masked = jnp.where(valid, fg_probs, 0.0)
     top_scores, top_idx = jax.lax.top_k(masked, max_dets)
@@ -289,17 +321,39 @@ def decode_rcnn_detections(outputs: Dict[str, jnp.ndarray], num_classes: int,
     keep = jax.vmap(lambda bx, sc, lb, va: batched_nms_fixed(
         bx, sc, lb, va, nms_thresh))(out_boxes, top_scores, out_labels,
                                      out_valid)
-    side = jax.vmap(lambda arr, idx: arr[idx])(
-        outputs["side"].argmax(-1).repeat(c - 1, axis=1), top_idx)
+
+    sides_bin = (jax.nn.sigmoid(outputs["side"].astype(jnp.float32))
+                 > 0.5).astype(jnp.float32)                  # [B, R, C]
+    sides = take(sides_bin[:, :, 1:].reshape(b, -1), top_idx)
+    contacts = take(
+        outputs["contact"].astype(jnp.float32).reshape(b, r, c, 5)
+        .argmax(-1)[:, :, 1:].reshape(b, -1), top_idx)
+    dxdymags = take(
+        outputs["dxdy"].astype(jnp.float32).reshape(b, r, c, 3)[:, :, 1:]
+        .reshape(b, -1, 3), top_idx)
     return {"boxes": out_boxes, "scores": jnp.where(keep, top_scores, 0.0),
-            "labels": out_labels, "valid": keep, "sides": side}
+            "labels": out_labels, "valid": keep, "sides": sides,
+            "contacts": contacts, "dxdymags": dxdymags}
 
 
 def rcnn_loss(outputs: Dict[str, jnp.ndarray],
               targets: Dict[str, jnp.ndarray],
               num_classes: int) -> Dict[str, jnp.ndarray]:
-    """Proposal->GT matching + fastrcnn losses (roi_heads.py:16-80), fully
-    vectorized with validity masks; aux 100DOH losses on hand-matched rois."""
+    """Proposal->GT matching (Matcher 0.5/0.5 semantics, roi_heads.py:96-117)
+    + the reference's fastrcnn_loss term math (roi_heads.py:16-80), fully
+    vectorized with validity masks: cls CE mean over sampled rois, box
+    smooth-L1(beta=1/9) summed over positives / total sampled
+    (roi_heads.py:52-58), and the three 0.1-weighted aux terms averaged
+    over positives (side BCE, dxdymag MSE, contact CE; roi_heads.py:61-76).
+    Per-term parity vs the reference's own fastrcnn_loss:
+    tests/test_reference_parity_rcnn.py.
+
+    Deviation (documented): the reference stochastically subsamples 512
+    rois/image at 25% positive fraction (BalancedPositiveNegativeSampler);
+    this keeps ALL proposals — deterministic and shape-static — so the
+    sampled set differs, not the math on it. Empty-positive batches yield 0
+    instead of the reference's NaN mean-over-empty.
+    """
     props = outputs["proposals"]                   # [B, R, 4]
     iou = jax.vmap(box_ops.box_iou)(props, targets["boxes"])  # [B, R, M]
     iou = jnp.where(targets["valid"][:, None, :], iou, -1.0)
@@ -336,19 +390,40 @@ def rcnn_loss(outputs: Dict[str, jnp.ndarray],
     reg_target = box_ops.delta_encode(gt_safe, props_safe,
                                       weights=(10.0, 10.0, 5.0, 5.0))
     n_fg = jnp.maximum(fg.sum(), 1)
-    loss_reg = (jnp.where(fg[..., None], smooth_l1(sel - reg_target), 0.0)
-                .sum() / n_fg)
+    # reference: smooth_l1(beta=1/9, reduction='sum') / labels.numel()
+    # (roi_heads.py:52-58) — the denominator is the TOTAL sampled count
+    loss_reg = (jnp.where(fg[..., None],
+                          smooth_l1(sel - reg_target, beta=1.0 / 9.0), 0.0)
+                .sum() / n_sample)
 
     losses = {"loss_classifier": loss_cls, "loss_box_reg": loss_reg}
     if "box_info" in targets:
+        # the three 100DOH aux terms, each over POSITIVE rois at their
+        # matched class, x0.1 (roi_heads.py:61-76); like the reference they
+        # are NOT restricted to the hand class — object positives train
+        # against their box_info defaults
         info = take_rows(targets["box_info"], match)
-        side_t = jnp.clip(info[..., 1], 0).astype(jnp.int32)
-        side_logits = outputs["side"].astype(jnp.float32)
-        side_ce = -jax.nn.log_softmax(side_logits)[
+        pick = lambda arr: jnp.take_along_axis(  # [B, R, C, ...] at target
+            arr, cls_target[:, :, None, None]
+            .repeat(arr.shape[-1], 3), 2)[:, :, 0]
+
+        side_sel = pick(outputs["side"].astype(jnp.float32)
+                        .reshape(b, r, num_classes, 1))[..., 0]
+        bce = bce_with_logits(side_sel, info[..., 1])
+        losses["loss_hand_side"] = 0.1 * (
+            jnp.where(fg, bce, 0.0).sum() / n_fg)
+
+        dxdy_sel = pick(outputs["dxdy"].astype(jnp.float32)
+                        .reshape(b, r, num_classes, 3))
+        mse = ((dxdy_sel - info[..., 2:]) ** 2).mean(-1)
+        losses["loss_dxdymag"] = 0.1 * (
+            jnp.where(fg, mse, 0.0).sum() / n_fg)
+
+        contact_sel = pick(outputs["contact"].astype(jnp.float32)
+                           .reshape(b, r, num_classes, 5))
+        contact_ce = -jax.nn.log_softmax(contact_sel)[
             jnp.arange(b)[:, None], jnp.arange(r)[None, :],
-            jnp.where(side_t > 0, cls_target, 0)]
-        hand_fg = fg & (info[..., 1] >= 0)
-        losses["loss_hand_side"] = (
-            jnp.where(hand_fg, side_ce, 0.0).sum()
-            / jnp.maximum(hand_fg.sum(), 1)) * 0.1
+            jnp.clip(info[..., 0], 0).astype(jnp.int32)]
+        losses["loss_contact"] = 0.1 * (
+            jnp.where(fg, contact_ce, 0.0).sum() / n_fg)
     return losses
