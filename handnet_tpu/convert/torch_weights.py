@@ -177,6 +177,82 @@ def convert_fcos(state_dict: Dict[str, np.ndarray]) -> dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def convert_faster_rcnn(state_dict):
+    """Reference FasterRCNN state dict -> {'params', 'batch_stats'} for
+    models/faster_rcnn.FasterRCNNFPN.
+
+    Layout (fpn_utils/faster_rcnn_fpn.py:112-190 + torchvision
+    resnet_fpn_backbone): backbone.body.* / backbone.fpn.{inner,layer}_blocks
+    like convert_fcos; rpn.head.{conv,cls_logits,bbox_pred} (both the plain
+    Conv2d and the newer Conv2dNormActivation '.0.0' layouts accepted) ->
+    rpn_head/{conv,objectness,deltas}; roi_heads.box_head.fc6/fc7 ->
+    box_head (fc6's input is the FLATTENED pooled roi — torch flattens
+    [C,7,7] channel-major, this package's NHWC pooling flattens [7,7,C], so
+    fc6's kernel rows are permuted accordingly); roi_heads.box_predictor.*
+    -> predictor (contact MLP .0/.3 -> contact_fc1/contact_fc2).
+    """
+    params: dict = {}
+    batch_stats: dict = {}
+    pred_map = {"cls_score": "cls_score", "bbox_pred": "bbox_pred",
+                "hand_lr_layer": "hand_side", "hand_dydx_layer": "dxdy"}
+    for key, value in state_dict.items():
+        value = np.asarray(value)
+        if key.startswith("backbone.body.fc."):
+            continue  # classifier head unused
+        if key.startswith("backbone.body."):
+            path, kind = _map_resnet_key(key[len("backbone.body."):])
+            _store_norm_or_conv(params, batch_stats, ("backbone",) + path,
+                                kind, value)
+            continue
+        m = re.match(r"backbone\.fpn\.inner_blocks\.(\d)\.(?:0\.)?(.*)", key)
+        if m:
+            _store_norm_or_conv(params, batch_stats,
+                                ("fpn", f"lateral_{m.group(1)}"),
+                                m.group(2), value)
+            continue
+        m = re.match(r"backbone\.fpn\.layer_blocks\.(\d)\.(?:0\.)?(.*)", key)
+        if m:
+            _store_norm_or_conv(params, batch_stats,
+                                ("fpn", f"output_{m.group(1)}"),
+                                m.group(2), value)
+            continue
+        m = re.match(r"rpn\.head\.(conv|cls_logits|bbox_pred)"
+                     r"(?:\.0\.0)?\.(weight|bias)", key)
+        if m:
+            name = {"conv": "conv", "cls_logits": "objectness",
+                    "bbox_pred": "deltas"}[m.group(1)]
+            _store_norm_or_conv(params, batch_stats, ("rpn_head", name),
+                                m.group(2), value)
+            continue
+        m = re.match(r"roi_heads\.box_head\.(fc6|fc7)\.(weight|bias)", key)
+        if m:
+            if m.group(1) == "fc6" and m.group(2) == "weight":
+                rep, flat = value.shape
+                c = flat // 49
+                value = (value.reshape(rep, c, 7, 7)
+                         .transpose(0, 2, 3, 1).reshape(rep, flat))
+            _store_norm_or_conv(params, batch_stats,
+                                ("box_head", m.group(1)), m.group(2), value)
+            continue
+        m = re.match(r"roi_heads\.box_predictor\."
+                     r"hand_contact_state_layer\.(0|3)\.(weight|bias)", key)
+        if m:
+            name = "contact_fc1" if m.group(1) == "0" else "contact_fc2"
+            _store_norm_or_conv(params, batch_stats, ("predictor", name),
+                                m.group(2), value)
+            continue
+        m = re.match(r"roi_heads\.box_predictor\.(\w+)\.(weight|bias)", key)
+        if m and m.group(1) in pred_map:
+            _store_norm_or_conv(params, batch_stats,
+                                ("predictor", pred_map[m.group(1)]),
+                                m.group(2), value)
+            continue
+        if "anchor" in key or key.startswith("transform."):
+            continue
+        raise KeyError(f"unmapped faster_rcnn key: {key}")
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def convert_pose2mesh(state_dict: Dict[str, np.ndarray]) -> dict:
     """Reference FlatPose2Mesh state dict -> {'params', 'batch_stats'}.
 

@@ -30,7 +30,6 @@ import numpy as np
 from handnet_tpu.nn.fpn import FPN
 from handnet_tpu.nn.resnet import resnet34
 from handnet_tpu.ops import boxes as box_ops
-from handnet_tpu.ops.anchors import fcos_anchor_pyramid
 from handnet_tpu.ops.focal import bce_with_logits, smooth_l1
 from handnet_tpu.ops.nms import nms_fixed
 
@@ -93,13 +92,19 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray, out_size: int,
 
 
 def multiscale_roi_align(pyramid: List[jnp.ndarray], rois: jnp.ndarray,
-                         out_size: int, strides) -> jnp.ndarray:
-    """FPN level assignment (k0=2 at stride 8 here): compute all levels,
-    select per-roi — static shapes, no boolean gathers."""
+                         out_size: int, strides,
+                         canonical_level: int = 4,
+                         canonical_scale: float = 224.0) -> jnp.ndarray:
+    """FPN level assignment (torchvision LevelMapper semantics: a
+    canonical_scale-sized roi maps to pyramid level ``canonical_level``,
+    k = floor(k0 + log2(sqrt(wh)/224)), clamped to the available levels):
+    compute all levels, select per-roi — static shapes, no boolean gathers."""
     w = rois[:, 2] - rois[:, 0]
     h = rois[:, 3] - rois[:, 1]
     scale = jnp.sqrt(jnp.maximum(w * h, 1e-6))
-    lvl = jnp.floor(jnp.log2(scale / 224.0 + 1e-6)) + 2
+    k_min = int(np.log2(strides[0]))
+    lvl = (jnp.floor(canonical_level + jnp.log2(scale / canonical_scale
+                                                + 1e-6)) - k_min)
     lvl = jnp.clip(lvl, 0, len(pyramid) - 1).astype(jnp.int32)
     outs = jnp.stack([
         roi_align(feat, rois, out_size, 1.0 / s)
@@ -192,16 +197,53 @@ class FastRCNNPredictor(nn.Module):
                 "dxdy": dxdy, "side": side}
 
 
+def rpn_anchor_grid(image_h: int, image_w: int, strides, sizes,
+                    aspect_ratios) -> np.ndarray:
+    """torchvision-exact RPN anchor table (the reference's own
+    fcos_utils/anchor_utils.py:56-114, wired at faster_rcnn_fpn.py:133-139):
+    per-location base anchors are ratio-major, half-extent ROUNDED to
+    integers, and centered on the stride grid corners (i*stride, not cell
+    centers) — all preserved so converted RPN weights see the anchors they
+    were trained with. Returns the level-concatenated ``[N, 4]`` table."""
+    # grid sizes exactly as the pyramid produces them: conv levels divide the
+    # (static) image size; the pool level is a ceil-div subsample of the
+    # last conv level, and torchvision re-derives its stride as
+    # image_size // grid_size (anchor_utils.py:118-125 forward)
+    grids = []
+    for stride in strides[:-1]:
+        grids.append((image_h // stride, image_w // stride, stride, stride))
+    gh, gw = (grids[-1][0] + 1) // 2, (grids[-1][1] + 1) // 2
+    grids.append((gh, gw, image_h // gh, image_w // gw))
+
+    all_anchors = []
+    for (gh, gw, sh, sw), size in zip(grids, sizes):
+        hs = np.array([size * np.sqrt(ar) for ar in aspect_ratios])
+        ws = np.array([size / np.sqrt(ar) for ar in aspect_ratios])
+        base = np.round(np.stack([-ws, -hs, ws, hs], axis=1) / 2.0)
+        sx = np.arange(gw, dtype=np.float32) * sw
+        sy = np.arange(gh, dtype=np.float32) * sh
+        shift_x, shift_y = np.meshgrid(sx, sy)          # [gh, gw]
+        shifts = np.stack([shift_x, shift_y, shift_x, shift_y],
+                          axis=-1).reshape(-1, 1, 4)
+        all_anchors.append((shifts + base[None]).reshape(-1, 4))
+    return np.concatenate(all_anchors, 0).astype(np.float32)
+
+
 class FasterRCNNFPN(nn.Module):
-    """Backbone+FPN+RPN+RoI heads. ``__call__`` returns proposals and the
-    per-roi head outputs; decode/loss are pure functions below."""
+    """Backbone+FPN+RPN+RoI heads at the reference's geometry
+    (faster_rcnn_fpn.py:112-190): resnet_fpn_backbone over c2..c5 (strides
+    4-32) plus the parameter-free P6 pool level (kernel-1 stride-2
+    subsample, torchvision LastLevelMaxPool) for the RPN only; anchor sizes
+    (32..512) x ratios (0.5, 1, 2); RoIAlign over P2-P5 with the canonical
+    224->level-4 mapping. ``__call__`` returns proposals and the per-roi
+    head outputs; decode/loss are pure functions below."""
 
     num_classes: int = 3
     image_h: int = 800
     image_w: int = 1088
     num_proposals: int = 128
-    strides: Tuple[int, ...] = (8, 16, 32)
-    anchor_scales: Tuple[float, ...] = (1.0, )  # x anchor size per level
+    strides: Tuple[int, ...] = (4, 8, 16, 32, 64)   # last = P6 pool level
+    anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)
     aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
     dtype: Any = jnp.float32
 
@@ -211,29 +253,17 @@ class FasterRCNNFPN(nn.Module):
         self.rpn_head = RPNHead(256, len(self.aspect_ratios), self.dtype)
         self.box_head = TwoMLPHead(1024, self.dtype)
         self.predictor = FastRCNNPredictor(self.num_classes, self.dtype)
-        # anchors: sizes (32, 64, 128) per level x 3 ratios
-        anchors = []
-        for stride in self.strides:
-            base, _, _ = fcos_anchor_pyramid(self.image_h, self.image_w,
-                                             (stride,), (stride * 4,))
-            centered = base  # [N, 4] square anchors at size 4*stride
-            level = []
-            cx = (centered[:, 0] + centered[:, 2]) / 2
-            cy = (centered[:, 1] + centered[:, 3]) / 2
-            size = float(stride * 4)
-            for ar in self.aspect_ratios:
-                hh = size * np.sqrt(ar)
-                ww = size / np.sqrt(ar)
-                level.append(np.stack([cx - ww / 2, cy - hh / 2,
-                                       cx + ww / 2, cy + hh / 2], -1))
-            # interleave ratios per location (matches head channel order)
-            anchors.append(np.stack(level, axis=1).reshape(-1, 4))
-        self._anchors = jnp.asarray(np.concatenate(anchors, 0)
-                                    .astype(np.float32))
+        self._anchors = jnp.asarray(rpn_anchor_grid(
+            self.image_h, self.image_w, self.strides, self.anchor_sizes,
+            self.aspect_ratios))
 
     def features(self, images, train: bool = False):
+        """P2..P5 + the parameter-free P6 subsample (RPN-only level)."""
         feats = self.backbone(images, train=train)
-        return self.fpn([feats["c3"], feats["c4"], feats["c5"]])
+        pyramid = self.fpn([feats["c2"], feats["c3"], feats["c4"],
+                            feats["c5"]])
+        pyramid.append(pyramid[-1][:, ::2, ::2, :])   # LastLevelMaxPool
+        return pyramid
 
     def propose(self, pyramid, nms_thresh: float = 0.7):
         """RPN forward -> fixed-count proposals per image."""
@@ -253,9 +283,15 @@ class FasterRCNNFPN(nn.Module):
         return final_boxes, final_scores, final_scores > -jnp.inf
 
     def roi_forward(self, pyramid, proposals, train: bool = False):
-        """Per-image RoIAlign + heads. proposals [B, R, 4]."""
+        """Per-image RoIAlign + heads over P2-P5 (the reference's
+        box_roi_pool featmap_names ['0','1','2','3'],
+        faster_rcnn_fpn.py:155-158 — the P6 pool level is RPN-only).
+        proposals [B, R, 4]."""
+        pyramid = pyramid[:4]
+
         def per_image(feats, rois):
-            pooled = multiscale_roi_align(list(feats), rois, 7, self.strides)
+            pooled = multiscale_roi_align(list(feats), rois, 7,
+                                          self.strides[:4])
             x = self.box_head(pooled)
             return self.predictor(x, train=train)
 

@@ -111,3 +111,57 @@ def test_rcnn_loss_and_grads(rcnn_small, rng):
         assert np.isfinite(float(v)), k
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_convert_faster_rcnn_full_model_smoke(rng):
+    """A checkpoint-shaped state dict (torchvision resnet34+4-level-FPN
+    naming via the torch oracles + rpn/roi_heads keys) converts into a
+    variables tree that loads and runs the full FasterRCNNFPN — catches any
+    drift between converter paths and the flax module tree."""
+    import torch
+
+    from handnet_tpu.convert.torch_weights import convert_faster_rcnn
+    from tests.torch_oracles import TorchResNet34, _TorchFPN
+
+    body = TorchResNet34()
+    fpn = _TorchFPN(in_channels=(64, 128, 256, 512))
+    sd = {}
+    for k, v in body.state_dict().items():
+        sd[f"backbone.body.{k}"] = v.numpy()
+    for k, v in fpn.state_dict().items():
+        sd[f"backbone.fpn.{k}"] = v.numpy()
+    rpn_head = torch.nn.ModuleDict({
+        "conv": torch.nn.Conv2d(256, 256, 3, padding=1),
+        "cls_logits": torch.nn.Conv2d(256, 3, 1),
+        "bbox_pred": torch.nn.Conv2d(256, 12, 1)})
+    for k, v in rpn_head.state_dict().items():
+        sd[f"rpn.head.{k}"] = v.numpy()
+    sd["roi_heads.box_head.fc6.weight"] = np.zeros((1024, 256 * 49), np.float32)
+    sd["roi_heads.box_head.fc6.bias"] = np.zeros(1024, np.float32)
+    sd["roi_heads.box_head.fc7.weight"] = np.zeros((1024, 1024), np.float32)
+    sd["roi_heads.box_head.fc7.bias"] = np.zeros(1024, np.float32)
+    pred = {"cls_score": (3, 1024), "bbox_pred": (12, 1024),
+            "hand_lr_layer": (3, 1024), "hand_dydx_layer": (9, 1024),
+            "hand_contact_state_layer.0": (32, 1024),
+            "hand_contact_state_layer.3": (15, 32)}
+    for name, (o, i) in pred.items():
+        sd[f"roi_heads.box_predictor.{name}.weight"] = np.zeros((o, i),
+                                                                np.float32)
+        sd[f"roi_heads.box_predictor.{name}.bias"] = np.zeros(o, np.float32)
+    conv = convert_faster_rcnn(sd)
+
+    model = FasterRCNNFPN(num_classes=3, image_h=64, image_w=96,
+                          num_proposals=8)
+    x = jnp.asarray(rng.normal(size=(1, 64, 96, 3)).astype(np.float32))
+    # structural check: converted tree must exactly match the init tree
+    init = model.init(jax.random.PRNGKey(0), x, train=False)
+    conv_paths = {jax.tree_util.keystr(p)
+                  for p, _ in jax.tree_util.tree_leaves_with_path(conv["params"])}
+    init_paths = {jax.tree_util.keystr(p)
+                  for p, _ in jax.tree_util.tree_leaves_with_path(init["params"])}
+    assert conv_paths == init_paths, (
+        f"missing={sorted(init_paths - conv_paths)[:5]} "
+        f"extra={sorted(conv_paths - init_paths)[:5]}")
+    out = model.apply({"params": conv["params"],
+                       "batch_stats": conv["batch_stats"]}, x, train=False)
+    assert np.isfinite(np.asarray(out["scores"])).all()

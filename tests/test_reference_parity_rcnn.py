@@ -371,3 +371,117 @@ def test_rcnn_postprocess_matches_reference(ref_fpn):
                                   r_contacts[0].numpy())
     np.testing.assert_allclose(np.asarray(out["dxdymags"][0])[keep],
                                r_dxdymags[0].numpy(), rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint converter: published FasterRCNN layout -> FasterRCNNFPN
+
+
+def test_rpn_anchor_grid_matches_reference():
+    """rpn_anchor_grid vs the reference's own AnchorGenerator
+    (fcos_utils/anchor_utils.py:56-114) at the RCNN config
+    (faster_rcnn_fpn.py:133-139): rounded ratio-major base anchors on
+    corner-aligned stride grids, level-concatenated."""
+    import tests.test_reference_parity as trp
+    from handnet_tpu.models.faster_rcnn import rpn_anchor_grid
+
+    _stub_module("torchvision.models.detection.image_list",
+                 ImageList=type("ImageList", (), {}))
+    au = trp._load("ref_anchor_utils_rcnn", "fcos_utils/anchor_utils.py")
+
+    strides = (4, 8, 16, 32, 64)
+    sizes = (32, 64, 128, 256, 512)
+    ratios = (0.5, 1.0, 2.0)
+    gen = au.AnchorGenerator(tuple((s,) for s in sizes), (ratios,) * 5)
+    for h, w in [(128, 192), (96, 160)]:
+        # feature grids as the model pyramid produces them; the pool level
+        # is a ceil-div subsample whose stride torchvision re-derives as
+        # image // grid (anchor_utils.py:118-125)
+        grid_sizes = [[h // s, w // s] for s in strides[:4]]
+        grid_sizes.append([(grid_sizes[-1][0] + 1) // 2,
+                           (grid_sizes[-1][1] + 1) // 2])
+        t_strides = [[torch.tensor(h // g[0]), torch.tensor(w // g[1])]
+                     for g in grid_sizes]
+        ref = torch.cat(gen.grid_anchors(grid_sizes, t_strides)).numpy()
+
+        ours = rpn_anchor_grid(h, w, strides, sizes, ratios)
+        np.testing.assert_array_equal(ours, ref, err_msg=f"{h}x{w}")
+
+
+def test_convert_faster_rcnn_heads(ref_fpn):
+    """convert_faster_rcnn on checkpoint-style keys: the converted box_head
+    reproduces the reference TwoMLPHead on the SAME pooled roi (torch
+    flattens [C,7,7] channel-major; ours flattens [7,7,C] — the fc6 kernel
+    permutation is the thing under test), the predictor reproduces
+    FastRCNNPredictor, and the RPN head matches a torchvision-layout
+    RPNHead."""
+    from handnet_tpu.convert.torch_weights import convert_faster_rcnn
+    from handnet_tpu.models.faster_rcnn import (FastRCNNPredictor, RPNHead,
+                                                TwoMLPHead)
+
+    frf, _ = ref_fpn
+    c, ch = 3, 32  # 32 channels keeps the 7x7 pooled tensors small
+    t_box_head = frf.TwoMLPHead(ch * 49, 64)
+    t_pred = frf.FastRCNNPredictor(64, c, ext=True)
+
+    class _TorchRPNHead(torch.nn.Module):
+        # torchvision RPNHead layout (conv 3x3 + two 1x1 outputs)
+        def __init__(self, channels, a):
+            super().__init__()
+            self.conv = torch.nn.Conv2d(channels, channels, 3, padding=1)
+            self.cls_logits = torch.nn.Conv2d(channels, a, 1)
+            self.bbox_pred = torch.nn.Conv2d(channels, a * 4, 1)
+
+        def forward(self, f):
+            t = torch.relu(self.conv(f))
+            return self.cls_logits(t), self.bbox_pred(t)
+
+    t_rpn = _TorchRPNHead(ch, 3)
+    for mod, seed in [(t_box_head, 3), (t_pred, 4), (t_rpn, 5)]:
+        _randomize(mod, seed)
+        mod.eval()
+
+    sd = {}
+    for k, v in t_box_head.state_dict().items():
+        sd[f"roi_heads.box_head.{k}"] = v.numpy()
+    for k, v in t_pred.state_dict().items():
+        sd[f"roi_heads.box_predictor.{k}"] = v.numpy()
+    for k, v in t_rpn.state_dict().items():
+        sd[f"rpn.head.{k}"] = v.numpy()
+    conv = convert_faster_rcnn(sd)
+
+    rng = np.random.default_rng(9)
+    pooled = rng.normal(size=(5, ch, 7, 7)).astype(np.float32)
+    with torch.no_grad():
+        t_feat = t_box_head(torch.as_tensor(pooled))
+        (t_side, t_dxdy, t_contact), t_scores, t_deltas = t_pred(t_feat)
+
+    feat = TwoMLPHead(representation=64).apply(
+        {"params": conv["params"]["box_head"]},
+        jnp.asarray(pooled.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(feat), t_feat.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    out = FastRCNNPredictor(num_classes=c).apply(
+        {"params": conv["params"]["predictor"]}, feat)
+    for ours, ref in [(out["scores"], t_scores), (out["deltas"], t_deltas),
+                      (out["side"], t_side), (out["dxdy"], t_dxdy),
+                      (out["contact"], t_contact)]:
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+    fmap = rng.normal(size=(1, ch, 6, 8)).astype(np.float32)
+    with torch.no_grad():
+        t_obj, t_reg = t_rpn(torch.as_tensor(fmap))
+    obj, reg = RPNHead(ch, 3).apply(
+        {"params": conv["params"]["rpn_head"]},
+        [jnp.asarray(fmap.transpose(0, 2, 3, 1))])
+    # our head flattens NHWC (h, w, a); reference RPN flattens via
+    # permute(0,2,3,1) too (torchvision concat_box_prediction_layers) —
+    # compare in that layout
+    np.testing.assert_allclose(
+        np.asarray(obj).reshape(-1),
+        t_obj.permute(0, 2, 3, 1).reshape(-1).numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(reg).reshape(-1, 4),
+        t_reg.permute(0, 2, 3, 1).reshape(-1, 4).numpy(),
+        rtol=1e-4, atol=1e-5)
