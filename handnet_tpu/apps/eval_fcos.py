@@ -34,6 +34,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--voc-root", required=True)
     parser.add_argument("--image-set", default="test")
+    parser.add_argument("--net", default="fcos", choices=["fcos", "rcnn"],
+                        help="detector family (the reference's --net flag)")
+    parser.add_argument("--num-proposals", type=int, default=128)
     parser.add_argument("--torch-checkpoint", default=None)
     parser.add_argument("--output", default="models/fcos_eval")
     parser.add_argument("--batch", type=int, default=4)
@@ -49,18 +52,53 @@ def main(argv=None):
 
     cfg = FCOSConfig(num_classes=3, image_h=args.image_h,
                      image_w=args.image_w, score_thresh=args.score_thresh)
-    system = FCOSSystem(cfg, dtype=jnp.bfloat16)
-    if args.torch_checkpoint:
-        from handnet_tpu.convert.torch_weights import (convert_fcos,
-                                                       load_torch_checkpoint)
+    if args.net == "rcnn":
+        from handnet_tpu.models.faster_rcnn import (FasterRCNNFPN,
+                                                    decode_rcnn_detections)
+        from handnet_tpu.models.fcos import preprocess
 
-        variables = jax.tree_util.tree_map(
-            jnp.asarray,
-            convert_fcos(load_torch_checkpoint(args.torch_checkpoint)))
+        module = FasterRCNNFPN(num_classes=3, image_h=args.image_h,
+                               image_w=args.image_w,
+                               num_proposals=args.num_proposals,
+                               dtype=jnp.bfloat16)
+        if args.torch_checkpoint:
+            from handnet_tpu.convert.torch_weights import (
+                convert_faster_rcnn, load_torch_checkpoint)
+
+            variables = jax.tree_util.tree_map(
+                jnp.asarray, convert_faster_rcnn(
+                    load_torch_checkpoint(args.torch_checkpoint)))
+        else:
+            print("WARNING: random detector weights")
+            variables = module.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, args.image_h, args.image_w, 3)), train=False)
+
+        def _detect(v, im):
+            net_in, scale = preprocess(im, cfg)
+            out = module.apply(v, net_in, train=False)
+            det = decode_rcnn_detections(
+                out, 3, score_thresh=args.score_thresh,
+                image_hw=(args.image_h, args.image_w))
+            sy, sx = scale
+            det["boxes"] = det["boxes"] * jnp.asarray(
+                [1 / sx, 1 / sy, 1 / sx, 1 / sy], jnp.float32)
+            return det
+
+        detect = jax.jit(_detect)
     else:
-        print("WARNING: random detector weights")
-        variables = system.init(jax.random.PRNGKey(0))
-    detect = jax.jit(lambda v, im: system.detect(v, im))
+        system = FCOSSystem(cfg, dtype=jnp.bfloat16)
+        if args.torch_checkpoint:
+            from handnet_tpu.convert.torch_weights import (
+                convert_fcos, load_torch_checkpoint)
+
+            variables = jax.tree_util.tree_map(
+                jnp.asarray,
+                convert_fcos(load_torch_checkpoint(args.torch_checkpoint)))
+        else:
+            print("WARNING: random detector weights")
+            variables = system.init(jax.random.PRNGKey(0))
+        detect = jax.jit(lambda v, im: system.detect(v, im))
 
     import cv2
 

@@ -54,6 +54,12 @@ def main(argv=None):
     parser.add_argument("--voc-root", default=None,
                         help="train on 100DOH VOC (sets num_classes=3)")
     parser.add_argument("--voc-image-set", default="trainval")
+    parser.add_argument("--net", default="fcos", choices=["fcos", "rcnn"],
+                        help="detector family, like the reference's --net "
+                             "flag (trainval_net_fcos.py:184-187): 'rcnn' "
+                             "trains the Faster R-CNN alternative")
+    parser.add_argument("--num-proposals", type=int, default=128,
+                        help="rcnn only: fixed per-image proposal budget")
     parser.add_argument("--backbone-norm", default="batch",
                         choices=["batch", "frozen", "group"],
                         help="'frozen' only when starting from converted "
@@ -101,9 +107,17 @@ def main(argv=None):
                            image_h=args.image_h, image_w=args.image_w)
     train_cfg = TrainConfig(batch_size=batch, lr=args.lr, bf16=args.bf16,
                             optimizer="sgd", warmup_epochs=1)
-    trainer = FCOSTrainer(model_cfg, train_cfg, mesh=mesh,
-                          steps_per_epoch=steps_per_epoch,
-                          backbone_norm=args.backbone_norm)
+    if args.net == "rcnn":
+        from handnet_tpu.train.trainer import RCNNTrainer
+
+        trainer = RCNNTrainer(model_cfg, train_cfg, mesh=mesh,
+                              steps_per_epoch=steps_per_epoch,
+                              backbone_norm=args.backbone_norm,
+                              num_proposals=args.num_proposals)
+    else:
+        trainer = FCOSTrainer(model_cfg, train_cfg, mesh=mesh,
+                              steps_per_epoch=steps_per_epoch,
+                              backbone_norm=args.backbone_norm)
     state = trainer.init_state(jax.random.PRNGKey(train_cfg.seed))
 
     ckpt = CheckpointManager(os.path.join(args.output, "checkpoints"))

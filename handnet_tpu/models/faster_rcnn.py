@@ -245,10 +245,11 @@ class FasterRCNNFPN(nn.Module):
     strides: Tuple[int, ...] = (4, 8, 16, 32, 64)   # last = P6 pool level
     anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)
     aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    backbone_norm: str = "frozen"  # converted-pretrained; from-scratch: batch
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = resnet34(norm="frozen", dtype=self.dtype)
+        self.backbone = resnet34(norm=self.backbone_norm, dtype=self.dtype)
         self.fpn = FPN(out_channels=256, dtype=self.dtype)
         self.rpn_head = RPNHead(256, len(self.aspect_ratios), self.dtype)
         self.box_head = TwoMLPHead(1024, self.dtype)
@@ -266,8 +267,16 @@ class FasterRCNNFPN(nn.Module):
         return pyramid
 
     def propose(self, pyramid, nms_thresh: float = 0.7):
-        """RPN forward -> fixed-count proposals per image."""
-        obj, reg = self.rpn_head(pyramid)              # [B, N], [B, N, 4]
+        """RPN forward -> fixed-count proposals per image. Also returns the
+        raw per-anchor objectness/deltas for the RPN training loss.
+
+        Proposals are cut from the gradient tape like the reference's RPN
+        (torchvision RegionProposalNetwork detaches before decoding) — the
+        roi heads never backprop into the RPN through the boxes.
+        """
+        raw_obj, raw_reg = self.rpn_head(pyramid)      # [B, N], [B, N, 4]
+        obj = jax.lax.stop_gradient(raw_obj)
+        reg = jax.lax.stop_gradient(raw_reg)
         boxes = box_ops.delta_decode(reg, self._anchors[None])
         boxes = box_ops.clip_boxes(boxes, self.image_h, self.image_w)
         k = self.num_proposals
@@ -280,31 +289,34 @@ class FasterRCNNFPN(nn.Module):
         sel_scores = jnp.where(keep, top_scores, -jnp.inf)
         final_scores, final_idx = jax.lax.top_k(sel_scores, k)
         final_boxes = take(top_boxes, final_idx)
-        return final_boxes, final_scores, final_scores > -jnp.inf
+        return (final_boxes, final_scores, final_scores > -jnp.inf,
+                raw_obj, raw_reg)
 
     def roi_forward(self, pyramid, proposals, train: bool = False):
-        """Per-image RoIAlign + heads over P2-P5 (the reference's
-        box_roi_pool featmap_names ['0','1','2','3'],
-        faster_rcnn_fpn.py:155-158 — the P6 pool level is RPN-only).
-        proposals [B, R, 4]."""
-        pyramid = pyramid[:4]
+        """RoIAlign + heads over P2-P5 (the reference's box_roi_pool
+        featmap_names ['0','1','2','3'], faster_rcnn_fpn.py:155-158 — the
+        P6 pool level is RPN-only). proposals [B, R, 4].
 
-        def per_image(feats, rois):
-            pooled = multiscale_roi_align(list(feats), rois, 7,
-                                          self.strides[:4])
-            x = self.box_head(pooled)
-            return self.predictor(x, train=train)
-
-        return jax.vmap(
-            lambda *fs_and_rois: per_image(fs_and_rois[:-1], fs_and_rois[-1])
-        )(*pyramid, proposals)
+        The pooling (parameter-free) vmaps per image; the dense heads run
+        once on the flattened [B*R] roi batch — one big MXU matmul instead
+        of B small ones, and dropout masks stay independent per roi.
+        """
+        b, r = proposals.shape[:2]
+        pooled = jax.vmap(
+            lambda *fs_and_rois: multiscale_roi_align(
+                list(fs_and_rois[:-1]), fs_and_rois[-1], 7, self.strides[:4])
+        )(*pyramid[:4], proposals)                     # [B, R, 7, 7, C]
+        x = self.box_head(pooled.reshape(b * r, *pooled.shape[2:]))
+        out = self.predictor(x, train=train)
+        return {k: v.reshape(b, r, *v.shape[1:]) for k, v in out.items()}
 
     def __call__(self, images, train: bool = False):
         pyramid = self.features(images, train=train)
-        proposals, rpn_scores, valid = self.propose(pyramid)
+        proposals, rpn_scores, valid, rpn_obj, rpn_reg = self.propose(pyramid)
         head = self.roi_forward(pyramid, proposals, train=train)
         return {"proposals": proposals, "rpn_scores": rpn_scores,
-                "proposal_valid": valid, **head}
+                "proposal_valid": valid, "rpn_objectness": rpn_obj,
+                "rpn_deltas": rpn_reg, **head}
 
 
 def decode_rcnn_detections(outputs: Dict[str, jnp.ndarray], num_classes: int,
@@ -463,3 +475,61 @@ def rcnn_loss(outputs: Dict[str, jnp.ndarray],
         losses["loss_contact"] = 0.1 * (
             jnp.where(fg, contact_ce, 0.0).sum() / n_fg)
     return losses
+
+
+def rpn_loss(outputs: Dict[str, jnp.ndarray], anchors: jnp.ndarray,
+             targets: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """RPN training loss, torchvision RegionProposalNetwork semantics (the
+    native kernel the reference leans on implicitly — its RPN is
+    constructed at faster_rcnn_fpn.py:147-151 with fg/bg IoU 0.7/0.3):
+
+    * anchor assignment: fg at IoU >= 0.7, bg below 0.3, ignore between,
+      plus low-quality matches — every anchor tying a GT's best IoU is
+      forced foreground while keeping its own argmax GT (Matcher
+      allow_low_quality_matches incl. its tie semantics);
+    * objectness: BCE-with-logits mean over sampled anchors;
+    * box: smooth-L1(beta=1/9) summed over foreground, normalized by the
+      sampled count, on (1,1,1,1)-weighted encodings.
+
+    Deviation (documented): torchvision randomly subsamples 256
+    anchors/image at 50% positive fraction; this keeps every non-ignored
+    anchor — deterministic and shape-static — so the normalizers run over
+    that larger set.
+    """
+    obj = outputs["rpn_objectness"].astype(jnp.float32)     # [B, N]
+    deltas = outputs["rpn_deltas"].astype(jnp.float32)      # [B, N, 4]
+    gt_boxes = targets["boxes"]                             # [B, M, 4]
+    gt_valid = targets["valid"]                             # [B, M]
+
+    iou = jax.vmap(box_ops.box_iou)(
+        jnp.broadcast_to(anchors[None], (obj.shape[0],) + anchors.shape),
+        gt_boxes)                                           # [B, N, M]
+    iou = jnp.where(gt_valid[:, None, :], iou, -1.0)
+    best = iou.max(-1)                                      # [B, N]
+    match = iou.argmax(-1)                                  # [B, N]
+
+    # low-quality matches: anchors tying some GT's best IoU (ties included,
+    # like torchvision's set_low_quality_matches_)
+    gt_best = jnp.where(gt_valid, iou.max(1), -2.0)         # [B, M]
+    lowq = ((iou == gt_best[:, None, :]) & gt_valid[:, None, :]).any(-1)
+
+    fg = (best >= 0.7) | lowq
+    bg = (best < 0.3) & (best >= 0.0) & ~fg
+    sample = fg | bg
+    n_sample = jnp.maximum(sample.sum(), 1)
+
+    label = fg.astype(jnp.float32)
+    obj_loss = (jnp.where(sample, bce_with_logits(obj, label), 0.0).sum()
+                / n_sample)
+
+    take_rows = jax.vmap(lambda arr, idx: arr[idx])
+    matched_gt = take_rows(gt_boxes, match)
+    gt_safe = jnp.concatenate(
+        [matched_gt[..., :2],
+         jnp.maximum(matched_gt[..., 2:], matched_gt[..., :2] + 1.0)], -1)
+    reg_target = box_ops.delta_encode(gt_safe, anchors[None],
+                                      weights=(1.0, 1.0, 1.0, 1.0))
+    box_loss = (jnp.where(fg[..., None],
+                          smooth_l1(deltas - reg_target, beta=1.0 / 9.0), 0.0)
+                .sum() / n_sample)
+    return {"loss_objectness": obj_loss, "loss_rpn_box_reg": box_loss}

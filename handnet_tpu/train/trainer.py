@@ -252,3 +252,102 @@ class FCOSTrainer:
 
     def train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
         return self._train_step(state, batch)
+
+
+class RCNNTrainer:
+    """Faster R-CNN training (the reference's ``--net resXX`` alternative,
+    trainval_net_fcos.py:184-187): joint RPN + roi-head losses summed like
+    its loop sums the loss dict (:55-77). Same optimizer/schedule family as
+    FCOSTrainer; the per-step dropout rng (contact head) folds in
+    ``state.step`` so the step stays a pure function of its inputs."""
+
+    def __init__(self, model_cfg: Optional[FCOSConfig] = None,
+                 train_cfg: Optional[TrainConfig] = None,
+                 mesh: Optional[Mesh] = None,
+                 steps_per_epoch: int = 1000,
+                 milestones_epochs=(20, 35),
+                 backbone_norm: str = "frozen",
+                 num_proposals: int = 128):
+        from handnet_tpu.models.faster_rcnn import (FasterRCNNFPN,
+                                                    rpn_anchor_grid)
+
+        self.model_cfg = model_cfg or FCOSConfig()
+        self.train_cfg = train_cfg or TrainConfig()
+        dtype = jnp.bfloat16 if self.train_cfg.bf16 else jnp.float32
+        self.module = FasterRCNNFPN(
+            num_classes=self.model_cfg.num_classes,
+            image_h=self.model_cfg.image_h, image_w=self.model_cfg.image_w,
+            num_proposals=num_proposals, backbone_norm=backbone_norm,
+            dtype=dtype)
+        self.anchors = jnp.asarray(rpn_anchor_grid(
+            self.module.image_h, self.module.image_w, self.module.strides,
+            self.module.anchor_sizes, self.module.aspect_ratios))
+        self._norm_trains = backbone_norm in ("batch", "batch_sync")
+        self.mesh = mesh
+        self.schedule = multistep_with_warmup(
+            self.train_cfg.lr, steps_per_epoch, milestones_epochs,
+            warmup_epochs=1.0 if self.train_cfg.warmup_epochs else 0.0)
+        self.tx = make_optimizer(self.train_cfg, self.schedule)
+        self._base_rng = jax.random.PRNGKey(self.train_cfg.seed + 1)
+        self._train_step = self._build_train_step()
+
+    def init_state(self, rng) -> TrainState:
+        x = jnp.zeros((1, self.module.image_h, self.module.image_w, 3),
+                      jnp.float32)
+        variables = self.module.init(rng, x, train=False)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(variables["params"]),
+            tx=self.tx,
+        )
+        if self.mesh is not None:
+            repl, _ = _dp_shardings(self.mesh)
+            state = jax.device_put(state, repl)
+        return state
+
+    def _loss_fn(self, params, batch_stats, step, batch):
+        from handnet_tpu.models.faster_rcnn import rcnn_loss, rpn_loss
+
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        rngs = {"dropout": jax.random.fold_in(self._base_rng, step)}
+        if self._norm_trains:
+            out, updates = self.module.apply(
+                variables, batch["image"], train=True,
+                mutable=["batch_stats"], rngs=rngs)
+            new_bs = updates["batch_stats"]
+        else:
+            out = self.module.apply(variables, batch["image"], train=True,
+                                    rngs=rngs)
+            new_bs = batch_stats
+        losses = rcnn_loss(out, batch["targets"],
+                           self.model_cfg.num_classes)
+        losses.update(rpn_loss(out, self.anchors, batch["targets"]))
+        total = sum(losses.values())
+        losses["total_loss"] = total
+        return total, (new_bs, losses)
+
+    def _build_train_step(self) -> Callable:
+        def step(state: TrainState, batch):
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            (_, (new_bs, metrics)), grads = grad_fn(
+                state.params, state.batch_stats, state.step, batch)
+            return state.apply_gradients(grads, new_bs), metrics
+
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0,))
+        repl, data = _dp_shardings(self.mesh)
+        batch_shard = {
+            "image": data,
+            "targets": {"boxes": data, "labels": data, "valid": data,
+                        "box_info": data},
+        }
+        return jax.jit(step, donate_argnums=(0,),
+                       in_shardings=(repl, batch_shard),
+                       out_shardings=(repl, repl))
+
+    def train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        return self._train_step(state, batch)

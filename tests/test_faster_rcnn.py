@@ -165,3 +165,80 @@ def test_convert_faster_rcnn_full_model_smoke(rng):
     out = model.apply({"params": conv["params"],
                        "batch_stats": conv["batch_stats"]}, x, train=False)
     assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_rpn_loss_matching_semantics():
+    """rpn_loss on a controlled assignment: IoU>=0.7 fg, <0.3 bg, the band
+    between ignored, and a GT whose best anchor sits below 0.7 still gets a
+    foreground via the low-quality match (torchvision Matcher semantics)."""
+    from handnet_tpu.models.faster_rcnn import rpn_loss
+    from handnet_tpu.ops import boxes as box_ops
+
+    anchors = np.array([
+        [10.0, 10.0, 50.0, 50.0],     # == gt0 -> fg (iou 1)
+        [200.0, 200.0, 240.0, 240.0],  # far -> bg
+        [10.0, 10.0, 50.0, 74.0],      # iou(gt0) = 40/64 = 0.625 -> ignore
+        [100.0, 96.0, 148.0, 160.0],   # best anchor for gt1 (iou < 0.7)
+    ], np.float32)
+    gt = np.array([[[10.0, 10.0, 50.0, 50.0],
+                    [100.0, 100.0, 150.0, 156.0]]], np.float32)
+    targets = {"boxes": jnp.asarray(gt),
+               "valid": jnp.ones((1, 2), bool),
+               "labels": jnp.ones((1, 2), jnp.int32)}
+
+    obj = np.array([[2.0, -1.5, 5.0, 0.5]], np.float32)  # anchor2 ignored
+    deltas = np.zeros((1, 4, 4), np.float32)
+    out = {"rpn_objectness": jnp.asarray(obj),
+           "rpn_deltas": jnp.asarray(deltas)}
+    losses = rpn_loss(out, jnp.asarray(anchors), targets)
+
+    # expected: sampled = {0 fg, 1 bg, 3 fg(low-quality)}; anchor2 ignored
+    def bce(x, t):
+        return max(x, 0) - x * t + np.log1p(np.exp(-abs(x)))
+
+    exp_obj = (bce(2.0, 1) + bce(-1.5, 0) + bce(0.5, 1)) / 3
+    np.testing.assert_allclose(float(losses["loss_objectness"]), exp_obj,
+                               rtol=1e-5)
+    # box: smooth-L1(beta=1/9) of (0 - encode(gt, anchor)) over the 2 fg
+    # anchors / 3 sampled
+    enc = np.asarray(box_ops.delta_encode(
+        jnp.asarray(gt[0][[0, 1]]), jnp.asarray(anchors[[0, 3]]),
+        weights=(1.0, 1.0, 1.0, 1.0)))
+    d = np.abs(enc)
+    sl = np.where(d <= 1 / 9, 0.5 * d * d * 9, d - 0.5 / 9).sum()
+    np.testing.assert_allclose(float(losses["loss_rpn_box_reg"]), sl / 3,
+                               rtol=1e-4)
+
+
+def test_rcnn_trainer_step(rng):
+    """One RCNNTrainer step on a tiny config: finite joint losses (RPN +
+    roi heads + the three aux terms), params actually move."""
+    from handnet_tpu.config import FCOSConfig, TrainConfig
+    from handnet_tpu.train.trainer import RCNNTrainer
+
+    cfg = FCOSConfig(num_classes=3, image_h=64, image_w=96)
+    trainer = RCNNTrainer(cfg, TrainConfig(batch_size=1, lr=1e-3, bf16=False,
+                                           optimizer="sgd"),
+                          steps_per_epoch=10, backbone_norm="batch",
+                          num_proposals=8)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(1, 64, 96, 3))
+                             .astype(np.float32)),
+        "targets": {
+            "boxes": jnp.asarray([[[10.0, 10.0, 40.0, 40.0],
+                                   [50.0, 20.0, 90.0, 60.0]]]),
+            "labels": jnp.asarray([[2, 1]], jnp.int32),
+            "valid": jnp.ones((1, 2), bool),
+            "box_info": jnp.zeros((1, 2, 5), jnp.float32),
+        },
+    }
+    before = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state2, metrics = trainer.train_step(state, batch)
+    for k in ("loss_objectness", "loss_rpn_box_reg", "loss_classifier",
+              "loss_box_reg", "loss_hand_side", "loss_dxdymag",
+              "loss_contact", "total_loss"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    assert int(state2.step) == 1
+    after = jax.tree_util.tree_leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
