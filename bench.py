@@ -74,6 +74,11 @@ def resolve_config(env=os.environ):
         overrides["fcos"]["pallas_gn"] = False
     elif env.get("PGN"):
         overrides["fcos"]["pallas_gn"] = True  # compose onto any profile
+    if env.get("GNFV") == "0":
+        overrides["fcos"]["gn_fast_variance"] = False
+    elif env.get("GNFV"):
+        # portable single-pass GN variance (serving-only, config.py note)
+        overrides["fcos"]["gn_fast_variance"] = True
     return load_config(overrides if any(overrides.values()) else None,
                        yaml_path=os.path.join(_REPO, "configs",
                                               f"{profile}.yaml"))

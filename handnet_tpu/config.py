@@ -92,6 +92,15 @@ class FCOSConfig:
     # of two + better streaming bandwidth. Inference-only (no custom VJP) —
     # trainers force it off; parameters are identical either way.
     pallas_gn: bool = False
+    # Portable single-pass GN variance (flax use_fast_variance: E[x^2] -
+    # E[x]^2) in the head towers — the pure-XLA counterpart of pallas_gn
+    # for paths pallas cannot reach (AOT export to cpu platforms). Measured
+    # on v5e-1: 5.9-9.3x over the exact two-pass GN at fast shapes, 72.7x
+    # at parity P3 (tools/gn_pallas_probe.py). SERVING-ONLY: the
+    # cancellation form can go negative under fp once activations grow and
+    # rsqrt(neg) NaNs gradients mid-training (observed at ~step 80) —
+    # trainers force it off. Parameters are identical either way.
+    gn_fast_variance: bool = False
 
 
 @dataclass(frozen=True)

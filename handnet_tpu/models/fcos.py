@@ -76,6 +76,7 @@ class ConvTower(nn.Module):
     dtype: Any = jnp.float32
     quant: bool = False  # dynamic-int8 convs (nn/quant.py)
     pallas_gn: bool = False  # single-read GN stats kernel (serving only)
+    gn_fast_variance: bool = False  # single-pass XLA variance (serving only)
 
     @nn.compact
     def __call__(self, x):
@@ -84,15 +85,18 @@ class ConvTower(nn.Module):
         for i in range(self.num_convs):
             x = conv_layer(self.quant, self.channels, (3, 3), padding=1,
                            dtype=self.dtype, name=f"conv{i}")(x)
-            # use_fast_variance=False: the E[x^2]-E[x]^2 form can go negative
-            # under fp cancellation once activations grow, and rsqrt(neg)
-            # NaNs the gradient mid-training (observed at ~step 80)
+            # default use_fast_variance=False: the E[x^2]-E[x]^2 form can go
+            # negative under fp cancellation once activations grow, and
+            # rsqrt(neg) NaNs the gradient mid-training (observed at ~step
+            # 80) — both fast paths below are serving-only, forced off by
+            # the trainers (identical parameter trees all three ways)
             if self.pallas_gn and self.channels % 128 == 0:
                 x = PallasGroupNormModule(num_groups=32, epsilon=1e-5,
                                           dtype=self.dtype, name=f"gn{i}")(x)
             else:
                 x = nn.GroupNorm(num_groups=32, epsilon=1e-5,
-                                 dtype=self.dtype, use_fast_variance=False,
+                                 dtype=self.dtype,
+                                 use_fast_variance=self.gn_fast_variance,
                                  name=f"gn{i}")(x)
             x = nn.relu(x)
         return x
@@ -132,10 +136,12 @@ class FCOSHead(nn.Module):
         # prediction convs below stay float (tiny FLOPs, accuracy-critical)
         self.cls_tower = ConvTower(c, self.cfg.num_convs, self.dtype,
                                    quant=self.cfg.quant,
-                                   pallas_gn=self.cfg.pallas_gn)
+                                   pallas_gn=self.cfg.pallas_gn,
+                                   gn_fast_variance=self.cfg.gn_fast_variance)
         self.reg_tower = ConvTower(c, self.cfg.num_convs, self.dtype,
                                    quant=self.cfg.quant,
-                                   pallas_gn=self.cfg.pallas_gn)
+                                   pallas_gn=self.cfg.pallas_gn,
+                                   gn_fast_variance=self.cfg.gn_fast_variance)
         prior = self.cfg.prior_prob
         bias_init = nn.initializers.constant(
             -float(np.log((1.0 - prior) / prior)))

@@ -181,6 +181,11 @@ class FCOSTrainer:
             # parameter tree is identical, so train flax / serve pallas
             self.model_cfg = dataclasses.replace(self.model_cfg,
                                                  pallas_gn=False)
+        if self.model_cfg.gn_fast_variance:
+            # serving-only: the E[x^2]-E[x]^2 cancellation NaNs gradients
+            # mid-training (config.py note); train exact / serve fast
+            self.model_cfg = dataclasses.replace(self.model_cfg,
+                                                 gn_fast_variance=False)
         self.train_cfg = train_cfg or TrainConfig()
         dtype = jnp.bfloat16 if self.train_cfg.bf16 else jnp.float32
         self.system = FCOSSystem(self.model_cfg, backbone_norm=backbone_norm,

@@ -2,6 +2,7 @@
 (VERDICT round 1, weak item 6: the two bench profiles must live as
 reviewable YAML, not env-var branches)."""
 
+import dataclasses
 import os
 
 from handnet_tpu.config import load_config
@@ -115,3 +116,49 @@ def test_bench_resolve_config_default_and_composition():
         os.unlink(tmp_profile)
     cfg = bench.resolve_config(env={"PGN": "0"})
     assert cfg.fcos.pallas_gn is False
+
+
+def test_bench_resolve_config_gnfv():
+    """GNFV env knob: composes the portable single-pass GN variance onto
+    any profile; GNFV=0 kills it."""
+    import bench
+
+    cfg = bench.resolve_config(env={"GNFV": "1"})
+    assert cfg.fcos.gn_fast_variance is True
+    assert cfg.fcos.quant == "static"  # still the default profile
+    cfg = bench.resolve_config(env={"PROFILE": "fast", "GNFV": "1"})
+    assert cfg.fcos.gn_fast_variance is True
+    cfg = bench.resolve_config(env={"GNFV": "0"})
+    assert cfg.fcos.gn_fast_variance is False
+    cfg = bench.resolve_config(env={})
+    assert cfg.fcos.gn_fast_variance is False
+
+
+def test_gn_fast_variance_serving_equivalence():
+    """gn_fast_variance must be numerically equivalent at serving time
+    (identical params, same FCOS head outputs within fp tolerance) and
+    forced off by the trainer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from handnet_tpu.config import FCOSConfig, TrainConfig
+    from handnet_tpu.models.fcos import FCOS
+    from handnet_tpu.train.trainer import FCOSTrainer
+
+    cfg = FCOSConfig(num_classes=3, image_h=64, image_w=96)
+    cfg_fv = dataclasses.replace(cfg, gn_fast_variance=True)
+    m = FCOS(cfg=cfg)
+    m_fv = FCOS(cfg=cfg_fv)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(1, 64, 96, 3)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(variables, x, train=False)
+    out_fv = m_fv.apply(variables, x, train=False)  # same tree, both ways
+    for k in out:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(out_fv[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+
+    trainer = FCOSTrainer(cfg_fv, TrainConfig(batch_size=1, bf16=False),
+                          steps_per_epoch=10, backbone_norm="batch")
+    assert trainer.model_cfg.gn_fast_variance is False
