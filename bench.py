@@ -122,7 +122,16 @@ def _bench(state):
     batch = cfg.train.batch_size
 
     pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
-    variables = pipe.init(jax.random.PRNGKey(0))
+    # init params on the HOST cpu backend and ship them in one bulk
+    # transfer: random-init executing remotely cost ~430 s of the 22:10
+    # measured run (hundreds of small ops over a congested tunnel); one
+    # device_put of the finished tree fits a short tunnel window
+    state["phase"] = "init params (host cpu)"
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = pipe.init(jax.random.PRNGKey(0))
+    state["phase"] = "transfer params"
+    _status("params built on host; transferring to device")
+    variables = jax.device_put(variables, jax.devices()[0])
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(size=(batch, 480, 640, 3)).astype(np.float32))
