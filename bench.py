@@ -57,7 +57,7 @@ BASELINE_FPS = 1000.0  # driver target from BASELINE.json
 
 
 def resolve_config(env=os.environ):
-    """PROFILE yaml + QUANT / PGN env composition (unit-tested)."""
+    """PROFILE yaml + QUANT / GNFV env composition (unit-tested)."""
     from handnet_tpu.config import load_config
 
     profile = env.get("PROFILE", "quant_static")
@@ -69,12 +69,10 @@ def resolve_config(env=os.environ):
         q = "static" if env["QUANT"] == "static" else True
         overrides["fcos"]["quant"] = q
         overrides["a2j"]["quant"] = q
-    if env.get("PGN") == "0":
-        # kill-switch for the single-read pallas GroupNorm stats kernel
-        overrides["fcos"]["pallas_gn"] = False
-    elif env.get("PGN"):
-        overrides["fcos"]["pallas_gn"] = True  # compose onto any profile
     if env.get("GNFV") == "0":
+        # kill-switch: serving yamls ship gn_fast_variance ON (measured +5%
+        # e2e on fast AND quant_static — tools/bench_gn_matrix.py); GNFV=0
+        # restores the exact two-pass GN on any profile
         overrides["fcos"]["gn_fast_variance"] = False
     elif env.get("GNFV"):
         # portable single-pass GN variance (serving-only, config.py note)

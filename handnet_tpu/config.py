@@ -87,19 +87,20 @@ class FCOSConfig:
     # True/"dynamic" = per-sample scales; "static" = calibrated per-layer
     # scales (quant_stats collection; see HandNetPipeline.calibrate).
     quant: Any = False
-    # Single-read pallas GroupNorm statistics in the head towers
-    # (ops/pallas_gn.py): exact same math as flax GN, one HBM pass instead
-    # of two + better streaming bandwidth. Inference-only (no custom VJP) —
-    # trainers force it off; parameters are identical either way.
-    pallas_gn: bool = False
-    # Portable single-pass GN variance (flax use_fast_variance: E[x^2] -
-    # E[x]^2) in the head towers — the pure-XLA counterpart of pallas_gn
-    # for paths pallas cannot reach (AOT export to cpu platforms). Measured
-    # on v5e-1: 5.9-9.3x over the exact two-pass GN at fast shapes, 72.7x
-    # at parity P3 (tools/gn_pallas_probe.py). SERVING-ONLY: the
-    # cancellation form can go negative under fp once activations grow and
-    # rsqrt(neg) NaNs gradients mid-training (observed at ~step 80) —
-    # trainers force it off. Parameters are identical either way.
+    # Single-pass GN variance (flax use_fast_variance: E[x^2] - E[x]^2) in
+    # the head towers. Measured on v5e-1: 5.9-9.3x over the exact two-pass
+    # GN at fast shapes standalone (tools/gn_pallas_probe.py) and +5%
+    # e2e-pipeline fps on BOTH the fast and quant_static profiles
+    # (tools/bench_gn_matrix.py, 2026-08-20) — shipped ON in the serving
+    # yamls (fast/turbo/quant/quant_static; parity stays reference-exact).
+    # SERVING-ONLY: the cancellation form can go negative under fp once
+    # activations grow and rsqrt(neg) NaNs gradients mid-training (observed
+    # at ~step 80) — trainers force it off. Parameters are identical either
+    # way, so train exact / serve fast needs no conversion.
+    # (A single-HBM-read pallas stats kernel, ops/pallas_gn.py, won 13-67x
+    # standalone but LOST in-pipeline — the pallas_call is a fusion barrier
+    # for the tower convs' epilogues — so its serving flag was removed;
+    # the kernel + probe + unit tests remain as standalone ops.)
     gn_fast_variance: bool = False
 
 

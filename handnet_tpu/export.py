@@ -25,8 +25,8 @@ checkpoint only rewrites weights.npz.
 
 Portability notes: export forces the einsum A2J decode (the Mosaic pallas
 kernel cannot lower for non-TPU export platforms; in-pipeline the two are
-measured noise-level apart — ROUND3_NOTES) and rejects ``fcos.pallas_gn``
-for the same reason.
+measured noise-level apart — ROUND3_NOTES). The GN fast-variance serving
+flag is pure XLA and exports to every platform.
 """
 
 from __future__ import annotations
@@ -102,15 +102,6 @@ def _load_weights(path: str, dtype_map: Dict[str, str]):
     return unflatten_tree(flat)
 
 
-def _check_portable(cfg: HandNetConfig, platforms: Sequence[str]) -> None:
-    non_tpu = [p for p in platforms if p != "tpu"]
-    if cfg.fcos.pallas_gn and non_tpu:
-        raise ValueError(
-            "fcos.pallas_gn=True cannot export for non-TPU platforms "
-            f"{non_tpu}: the Mosaic kernel only lowers for tpu. Export "
-            "with platforms=('tpu',) or a pallas_gn=False config.")
-
-
 def export_pipeline(cfg: HandNetConfig, variables, out_dir: str,
                     buckets: Sequence[int] = (1, 8, 32, 128),
                     frame_hw: Tuple[int, int] = (480, 640),
@@ -145,7 +136,6 @@ def export_pipeline(cfg: HandNetConfig, variables, out_dir: str,
     from handnet_tpu.models.pipeline import HandNetPipeline
     from handnet_tpu.nn import quant as quantlib
 
-    _check_portable(cfg, platforms)
     buckets = tuple(sorted(set(int(b) for b in buckets)))
     if not buckets or buckets[0] < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")

@@ -37,36 +37,6 @@ from handnet_tpu.ops.focal import bce_with_logits, sigmoid_focal_loss
 from handnet_tpu.ops.nms import batched_nms_fixed
 
 
-class PallasGroupNormModule(nn.Module):
-    """Drop-in for ``nn.GroupNorm(num_groups, epsilon,
-    use_fast_variance=False)`` with an IDENTICAL parameter tree
-    ({scale, bias} of shape [C], fp32): statistics via the single-HBM-read
-    pallas kernel (ops/pallas_gn.py), normalize in XLA. Inference-only (no
-    VJP); serving flag ``FCOSConfig.pallas_gn``."""
-
-    num_groups: int = 32
-    epsilon: float = 1e-5
-    dtype: Any = jnp.float32
-    # None: interpret unless the backend can lower Mosaic (TPU platforms —
-    # on any other backend a compiled pallas_call would fail to lower);
-    # True/False: explicit override for on-device debugging
-    interpret: Any = None
-
-    @nn.compact
-    def __call__(self, x):
-        from handnet_tpu.ops.pallas_gn import pallas_group_norm
-
-        c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        interpret = self.interpret
-        if interpret is None:
-            interpret = jax.default_backend() not in ("tpu", "axon")
-        return pallas_group_norm(
-            x, scale, bias, self.num_groups, eps=self.epsilon,
-            dtype=self.dtype, interpret=interpret)
-
-
 class ConvTower(nn.Module):
     """num_convs x (conv3x3 + GroupNorm(32) + ReLU), shared across FPN levels
     (reference fcos.py:235-240,355-360). epsilon=1e-5 matches torch GN."""
@@ -75,7 +45,6 @@ class ConvTower(nn.Module):
     num_convs: int = 4
     dtype: Any = jnp.float32
     quant: bool = False  # dynamic-int8 convs (nn/quant.py)
-    pallas_gn: bool = False  # single-read GN stats kernel (serving only)
     gn_fast_variance: bool = False  # single-pass XLA variance (serving only)
 
     @nn.compact
@@ -88,16 +57,12 @@ class ConvTower(nn.Module):
             # default use_fast_variance=False: the E[x^2]-E[x]^2 form can go
             # negative under fp cancellation once activations grow, and
             # rsqrt(neg) NaNs the gradient mid-training (observed at ~step
-            # 80) — both fast paths below are serving-only, forced off by
-            # the trainers (identical parameter trees all three ways)
-            if self.pallas_gn and self.channels % 128 == 0:
-                x = PallasGroupNormModule(num_groups=32, epsilon=1e-5,
-                                          dtype=self.dtype, name=f"gn{i}")(x)
-            else:
-                x = nn.GroupNorm(num_groups=32, epsilon=1e-5,
-                                 dtype=self.dtype,
-                                 use_fast_variance=self.gn_fast_variance,
-                                 name=f"gn{i}")(x)
+            # 80) — the fast path is serving-only, forced off by the
+            # trainers (identical parameter tree both ways)
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                             dtype=self.dtype,
+                             use_fast_variance=self.gn_fast_variance,
+                             name=f"gn{i}")(x)
             x = nn.relu(x)
         return x
 
@@ -136,11 +101,9 @@ class FCOSHead(nn.Module):
         # prediction convs below stay float (tiny FLOPs, accuracy-critical)
         self.cls_tower = ConvTower(c, self.cfg.num_convs, self.dtype,
                                    quant=self.cfg.quant,
-                                   pallas_gn=self.cfg.pallas_gn,
                                    gn_fast_variance=self.cfg.gn_fast_variance)
         self.reg_tower = ConvTower(c, self.cfg.num_convs, self.dtype,
                                    quant=self.cfg.quant,
-                                   pallas_gn=self.cfg.pallas_gn,
                                    gn_fast_variance=self.cfg.gn_fast_variance)
         prior = self.cfg.prior_prob
         bias_init = nn.initializers.constant(

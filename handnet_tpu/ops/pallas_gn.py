@@ -28,7 +28,16 @@ apply stays in XLA where it fuses into neighbours.
 Equality with flax ``GroupNorm(use_fast_variance=False)`` is fp-rounding
 only (different summation order); asserted in tests/test_pallas_gn.py and
 on-chip by tools/gn_pallas_probe.py. Inference-only by design (no custom
-VJP — the trainers keep flax GN); gated by ``FCOSConfig.pallas_gn``.
+VJP — the trainers keep flax GN).
+
+STANDALONE OP ONLY since round 4: on-chip it wins 13-67x in isolation
+(gn_pallas_probe, 2026-08-19) but LOSES inside the full serving graph
+(tools/bench_gn_matrix.py, 2026-08-20 — below even the exact two-pass
+default on both the fast and quant_static profiles): the pallas_call is an
+opaque fusion barrier, so the tower convs' epilogues XLA normally fuses
+into the stats reads come back as extra HBM passes. The serving flag
+(FCOSConfig.pallas_gn) was removed; the shipped fast path is flax
+``use_fast_variance=True`` (FCOSConfig.gn_fast_variance, +5% e2e).
 
 Reference counterpart: the torch ``nn.GroupNorm`` inside the FCOS head
 towers (fcos_utils/fcos.py:235-240,355-360) — semantics identical, this is

@@ -176,11 +176,6 @@ class FCOSTrainer:
         if self.model_cfg.quant:
             # serving-only path — see A2JTrainer
             self.model_cfg = dataclasses.replace(self.model_cfg, quant=False)
-        if self.model_cfg.pallas_gn:
-            # serving-only too: the pallas GN stats kernel has no VJP; the
-            # parameter tree is identical, so train flax / serve pallas
-            self.model_cfg = dataclasses.replace(self.model_cfg,
-                                                 pallas_gn=False)
         if self.model_cfg.gn_fast_variance:
             # serving-only: the E[x^2]-E[x]^2 cancellation NaNs gradients
             # mid-training (config.py note); train exact / serve fast

@@ -65,7 +65,9 @@ def test_profiles_differ_only_where_documented():
     ffields = dataclasses.asdict(fast.fcos)
     pfields = dataclasses.asdict(parity.fcos)
     diff = {k for k in ffields if ffields[k] != pfields[k]}
-    assert diff == {"image_h", "image_w"}
+    # parity stays reference-exact (two-pass GN); every serving profile
+    # ships the measured gn_fast_variance win (tools/bench_gn_matrix.py)
+    assert diff == {"image_h", "image_w", "gn_fast_variance"}
 
 
 def test_quant_composes_onto_parity():
@@ -81,7 +83,7 @@ def test_quant_composes_onto_parity():
 def test_bench_resolve_config_default_and_composition():
     """bench.py's env resolution: default profile is quant_static (the
     priced-free int8 serving point of the reference architecture); QUANT
-    and PGN compose onto any profile; PGN=0 is a kill-switch."""
+    composes onto any profile."""
     import bench
 
     cfg = bench.resolve_config(env={})
@@ -91,47 +93,30 @@ def test_bench_resolve_config_default_and_composition():
     cfg = bench.resolve_config(env={"PROFILE": "fast"})
     assert cfg.fcos.quant is False and cfg.a2j.quant is False
 
-    cfg = bench.resolve_config(env={"PROFILE": "parity", "QUANT": "static",
-                                    "PGN": "1"})
+    cfg = bench.resolve_config(env={"PROFILE": "parity", "QUANT": "static"})
     assert cfg.fcos.quant == "static"
-    assert cfg.fcos.pallas_gn is True
     assert (cfg.fcos.image_h, cfg.fcos.image_w) == (800, 1088)
-
-    # PGN=0 kill-switch must WIN over a profile that turns pallas_gn ON —
-    # no shipped yaml sets it yet, so exercise the real path with a
-    # temporary profile (resolve_config resolves PROFILE inside configs/)
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    tmp_profile = os.path.join(repo, "configs", "_test_pgn_on.yaml")
-    try:
-        with open(tmp_profile, "w") as f:
-            f.write("fcos:\n  pallas_gn: true\n")
-        on = bench.resolve_config(env={"PROFILE": "_test_pgn_on"})
-        assert on.fcos.pallas_gn is True
-        killed = bench.resolve_config(env={"PROFILE": "_test_pgn_on",
-                                           "PGN": "0"})
-        assert killed.fcos.pallas_gn is False
-    finally:
-        os.unlink(tmp_profile)
-    cfg = bench.resolve_config(env={"PGN": "0"})
-    assert cfg.fcos.pallas_gn is False
 
 
 def test_bench_resolve_config_gnfv():
-    """GNFV env knob: composes the portable single-pass GN variance onto
-    any profile; GNFV=0 kills it."""
+    """GNFV env knob over the SHIPPED defaults: every serving yaml turns
+    gn_fast_variance on (measured +5% e2e, tools/bench_gn_matrix.py), so
+    GNFV=0 is a real kill-switch against a true default; parity stays
+    reference-exact (off) and GNFV=1 composes it on."""
     import bench
 
-    cfg = bench.resolve_config(env={"GNFV": "1"})
-    assert cfg.fcos.gn_fast_variance is True
-    assert cfg.fcos.quant == "static"  # still the default profile
-    cfg = bench.resolve_config(env={"PROFILE": "fast", "GNFV": "1"})
-    assert cfg.fcos.gn_fast_variance is True
-    cfg = bench.resolve_config(env={"GNFV": "0"})
-    assert cfg.fcos.gn_fast_variance is False
     cfg = bench.resolve_config(env={})
-    assert cfg.fcos.gn_fast_variance is False
+    assert cfg.fcos.gn_fast_variance is True  # shipped in quant_static.yaml
+    cfg = bench.resolve_config(env={"GNFV": "0"})
+    assert cfg.fcos.gn_fast_variance is False  # kill-switch beats the yaml
+    assert cfg.fcos.quant == "static"
+    for profile in ("fast", "turbo", "quant"):
+        cfg = bench.resolve_config(env={"PROFILE": profile})
+        assert cfg.fcos.gn_fast_variance is True, profile
+    cfg = bench.resolve_config(env={"PROFILE": "parity"})
+    assert cfg.fcos.gn_fast_variance is False  # reference-exact profile
+    cfg = bench.resolve_config(env={"PROFILE": "parity", "GNFV": "1"})
+    assert cfg.fcos.gn_fast_variance is True
 
 
 def test_gn_fast_variance_serving_equivalence():

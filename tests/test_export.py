@@ -185,16 +185,31 @@ def test_static_int8_calibrated_export_matches(tmp_path, rng):
                                rtol=1e-6, atol=1e-6)
 
 
-def test_pallas_gn_rejected_for_cpu_platform(tmp_path):
+def test_gn_fast_variance_exports_portable(tmp_path, rng):
+    """The shipped serving GN path (gn_fast_variance, pure XLA) must export
+    for non-TPU platforms and reproduce the live pipeline exactly — the
+    Mosaic-only pallas GN kernel lost in-pipeline and its flag is gone
+    (tools/bench_gn_matrix.py), so portability holds for every config."""
     cfg = HandNetConfig(
         a2j=A2JConfig(crop_h=48, crop_w=48),
         fcos=FCOSConfig(image_h=64, image_w=96, max_detections=8,
-                        num_classes=2, pallas_gn=True),
+                        num_classes=2, gn_fast_variance=True),
         pipeline=PipelineConfig(crop_size=48),
     )
-    with pytest.raises(ValueError, match="pallas_gn"):
-        export_pipeline(cfg, {}, str(tmp_path / "p"), buckets=(2,),
-                        frame_hw=HW, platforms=("tpu", "cpu"))
+    pipe = HandNetPipeline(cfg, dtype=jnp.float32)
+    variables = pipe.init(jax.random.PRNGKey(3))
+    rgb = rng.uniform(size=(2, *HW, 3)).astype(np.float32)
+    depth = rng.uniform(0.3, 1.0, size=(2, *HW)).astype(np.float32)
+    out = str(tmp_path / "gnfv")
+    export_pipeline(cfg, variables, out, buckets=(2,), frame_hw=HW,
+                    dtype=jnp.float32, platforms=("cpu",))
+    art = ServingArtifact.load(out)
+    pipe.a2j.decode_pallas = False
+    got = art.predict(rgb, depth)
+    ref = pipe(variables, jnp.asarray(rgb), jnp.asarray(depth))
+    np.testing.assert_allclose(got["joints_uvd"],
+                               np.asarray(ref["joints_uvd"]),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_server_from_artifact(artifact, rng):

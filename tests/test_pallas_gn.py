@@ -5,10 +5,15 @@ exact form the FCOS head towers use (reference fcos_utils/fcos.py:235-240)
 — to fp tolerance, including on ragged tiles (H*W not a multiple of the
 tile) and on every FPN level shape the towers actually see. Interpreter
 mode on CPU; the on-chip numbers come from tools/gn_pallas_probe.py.
+
+This is a STANDALONE op: 13-67x faster than the two-pass GN in isolation,
+but in-pipeline it LOST to both the default and the gn_fast_variance XLA
+path (tools/bench_gn_matrix.py, 2026-08-20 — the pallas_call is a fusion
+barrier for the tower convs' epilogues), so the FCOSConfig serving flag
+was removed. The kernel stays tested as ops-layer work.
 """
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -71,53 +76,16 @@ def test_group_norm_matches_flax(dtype):
                                rtol=tol, atol=tol)
 
 
-def test_conv_tower_pallas_gn_same_params_same_outputs():
-    """ConvTower(pallas_gn=True) must expose the IDENTICAL parameter tree
-    (train flax / serve pallas) and reproduce the flax tower's outputs."""
-    from handnet_tpu.models.fcos import ConvTower
-
-    x = jnp.asarray(RNG.normal(size=(2, 8, 16, 256)).astype(np.float32))
-    base = ConvTower(256, num_convs=2)
-    params = base.init(jax.random.PRNGKey(0), x)
-    fast = ConvTower(256, num_convs=2, pallas_gn=True)
-
-    chex = jax.tree_util.tree_structure
-    assert chex(fast.init(jax.random.PRNGKey(0), x)) == chex(params)
-
-    want = base.apply(params, x)
-    got = fast.apply(params, x)
+def test_group_norm_tower_shape_batchless():
+    """The functional entry point must also accept the tower shapes the
+    probe tool feeds it (regression guard for the standalone op now that
+    no model module exercises it)."""
+    x = jnp.asarray(RNG.normal(size=(1, 60, 80, 256)).astype(np.float32))
+    scale = jnp.ones((256,), jnp.float32)
+    bias = jnp.zeros((256,), jnp.float32)
+    got = pallas_group_norm(x, scale, bias, 32, eps=1e-5,
+                            dtype=jnp.float32, interpret=True)
+    gn = nn.GroupNorm(num_groups=32, epsilon=1e-5, use_fast_variance=False)
+    want = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
-
-
-def test_fcos_trainer_forces_pallas_gn_off():
-    from handnet_tpu.config import FCOSConfig, TrainConfig
-    from handnet_tpu.train.trainer import FCOSTrainer
-
-    tr = FCOSTrainer(FCOSConfig(num_classes=2, image_h=64, image_w=96,
-                                pallas_gn=True, max_detections=8),
-                     TrainConfig(bf16=False), backbone_norm="batch")
-    assert tr.model_cfg.pallas_gn is False
-
-
-def test_fcos_system_serves_with_pallas_gn():
-    """Same params, flax-GN system vs pallas-GN system: identical heads."""
-    from handnet_tpu.config import FCOSConfig
-    from handnet_tpu.models.fcos import FCOSSystem
-    import dataclasses
-
-    cfg = FCOSConfig(num_classes=2, ext=False, image_h=64, image_w=96,
-                     max_detections=8, score_thresh=0.0)
-    sys_f = FCOSSystem(cfg)
-    variables = sys_f.init(jax.random.PRNGKey(1))
-    sys_p = FCOSSystem(dataclasses.replace(cfg, pallas_gn=True))
-
-    im = jnp.asarray(RNG.uniform(size=(2, 64, 96, 3)).astype(np.float32))
-    det_f = sys_f.detect(variables, im)
-    det_p = sys_p.detect(variables, im)
-    np.testing.assert_allclose(np.asarray(det_p["boxes"]),
-                               np.asarray(det_f["boxes"]),
-                               rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(det_p["scores"]),
-                               np.asarray(det_f["scores"]),
-                               rtol=1e-4, atol=1e-4)

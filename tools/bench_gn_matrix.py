@@ -1,24 +1,28 @@
-"""Single-window GN-variant bench matrix: default vs GNFV vs PGN.
+"""Single-window GN-variant bench matrix: shipped default vs exact GN.
 
-The decision rule for the two serving-only GroupNorm fast paths
-(FCOSConfig.gn_fast_variance — portable single-pass XLA variance — and
-FCOSConfig.pallas_gn — the single-HBM-read Mosaic kernel, ops/pallas_gn.py)
-is an IN-PIPELINE measurement: standalone the kernel is 13-67x the exact
-two-pass GN (tools/gn_pallas_probe.py, on-chip 2026-08-19), but XLA may
-already overlap the stat passes inside the full serving graph.
+This tool produced the round-4 GN decision (v5e-1, 2026-08-20): in ONE
+easing window per profile, gn_fast_variance beat the end-of-window exact
+default by +5% on BOTH quant_static (1642.6 vs 1563.3 fps) and fast
+(1217.4 vs 1164.4) while the pallas stats kernel — 13-67x faster
+STANDALONE (tools/gn_pallas_probe.py) — came in BELOW the exact default
+in-pipeline (1372.3 / 1056.3): the pallas_call is a fusion barrier for
+the tower convs' epilogues. Consequence: gn_fast_variance ships ON in the
+serving yamls and the pallas serving flag was removed (the kernel stays
+as a standalone op), so the variants here are now "default" (shipped,
+fast variance on) and "exact" (GNFV=0 kill-switch, two-pass GN).
 
 Window-to-window tunnel congestion skews cross-run comparisons (the same
 graph measured 1226 vs 1579 fps in different windows — CLAUDE.md), so this
 tool measures every variant in ONE process/window: params are built on the
 host cpu backend once, shipped in one bulk transfer, and reused across all
-variant graphs ({scale, bias} trees are identical by construction —
-models/fcos.py PallasGroupNormModule docstring). Each variant's result is
-emitted as its own JSON line IMMEDIATELY, so a mid-window tunnel death
-keeps the finished measurements. The default graph is re-timed at the end
-("default2") as a congestion-drift control for the window.
+variant graphs (the GN parameter tree is identical both ways). Each
+variant's result is emitted as its own JSON line IMMEDIATELY, so a
+mid-window tunnel death keeps the finished measurements. The default graph
+is re-timed at the end ("default2") as a congestion-drift control for the
+window.
 
 Run: python tools/bench_gn_matrix.py [--profile quant_static]
-         [--only default,gnfv,pgn] [--iters 40]
+         [--only default,exact] [--iters 40]
 Env: MATRIX_DEADLINE_S global budget (default 1800).
 """
 
@@ -49,8 +53,7 @@ import numpy as np  # noqa: E402
 
 VARIANT_ENVS = {
     "default": {},
-    "gnfv": {"GNFV": "1"},
-    "pgn": {"PGN": "1"},
+    "exact": {"GNFV": "0"},
 }
 
 _T0 = time.perf_counter()
@@ -153,7 +156,7 @@ def _measure(state, variants, profile, iters, batch_override=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default="quant_static")
-    ap.add_argument("--only", default="default,gnfv,pgn")
+    ap.add_argument("--only", default="default,exact")
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--batch", type=int, default=None,
                     help="override the profile batch (CPU smoke)")
