@@ -27,11 +27,20 @@ pipeline's load_pretrained_fcos (handnet_pipeline/handnet_pipeline.py:14-24).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — and on
 failure {"value": null, "error": ...} instead of hanging: the remote-TPU
-tunnel this runs through can go down for hours (CLAUDE.md), so device work
-is (a) preceded by a watchdog-threaded tunnel probe (tools/tunnel_probe.py:
-tiny matmul + forced host readback, which cannot complete early on this
-backend) and (b) bounded by a global deadline (BENCH_DEADLINE_S, default
-540 s — under the driver's timeout) with the hung phase named in the error.
+tunnel this runs through can go down for hours AND flap in 5-10 min
+up-windows between 15-30 min outages (CLAUDE.md), so device work is
+(a) preceded by a tunnel probe (tools/tunnel_probe.py: tiny matmul +
+forced host readback, which cannot complete early on this backend) that
+on failure RETRIES in subprocesses every ~20 s for as long as the budget
+still fits a warm measurement (~BENCH_WARM_RUN_S, default 170 s with the
+persistent XLA cache + pre-baked calibration) — a 540 s budget can catch
+a flap window instead of dying on one 60 s probe (round-4 failure mode);
+and (b) bounded by a global deadline (BENCH_DEADLINE_S, default 540 s —
+under the driver's timeout, anchored to the FIRST process's start across
+re-execs via BENCH_T0) with the hung phase named in the error. Probe
+retries run as subprocesses because a hung in-process readback can wedge
+this process's backend client; when a retry succeeds the script re-execs
+itself so the measurement starts on a fresh client.
 Static-int8 profiles load the pre-baked calibration artifact
 (configs/bench_calib.npz, tools/bake_bench_calibration.py) when its shape
 matches, so the driver path compiles ONE graph, not three.
@@ -120,6 +129,12 @@ def _bench(state):
     batch = cfg.train.batch_size
 
     pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
+    if os.environ.get("A2JDEC") == "einsum":
+        # force the portable einsum A2J decode (default on TPU is the
+        # pallas kernel, models/a2j.py:A2JSystem.decode_pallas) — the
+        # bench_gn_matrix variant row that prices the pallas decode
+        # in-pipeline at the shipped GNFV default
+        pipe.a2j.decode_pallas = False
     # init params on the HOST cpu backend and ship them in one bulk
     # transfer: random-init executing remotely cost ~430 s of the 22:10
     # measured run (hundreds of small ops over a congested tunnel); one
@@ -180,27 +195,88 @@ def _bench(state):
     state["phase"] = "done"
 
 
-_T0 = time.perf_counter()
+# global-deadline anchor: survives the re-exec below so retries can never
+# stretch the driver-visible wall clock past BENCH_DEADLINE_S total
+_T0_EPOCH = float(os.environ.setdefault("BENCH_T0", repr(time.time())))
+_T0 = time.perf_counter() - (time.time() - _T0_EPOCH)
+
+
+def _remaining(deadline):
+    return deadline - (time.perf_counter() - _T0)
+
+
+def _probe_retry_loop(deadline):
+    """Tunnel-flap rider: first probe in-process (fast path, zero overhead
+    when healthy); on failure, keep probing in SUBPROCESSES every ~20 s
+    until a window opens or the remaining budget no longer fits a warm
+    measurement. Returns 'ok' | 'reexec' | 'down'.
+
+    Subprocesses because a hung in-process readback abandons a daemon
+    thread inside the backend client — later device work in THIS process
+    can wedge on that state, so a recovered window is entered via
+    os.execv (fresh interpreter, fresh client, same BENCH_T0 anchor).
+    """
+    import subprocess
+
+    from tools.tunnel_probe import probe_device
+
+    # a warm run (persistent XLA cache + pre-baked calibration) is ~2-3 min
+    # device time; keep retrying while that still fits before the deadline
+    warm_run_s = float(os.environ.get("BENCH_WARM_RUN_S", "170"))
+    probe_budget = min(30.0, deadline / 8)
+
+    ok, detail = probe_device(probe_budget)
+    if ok:
+        _status(f"tunnel probe ok ({detail}s)")
+        return "ok"
+    _status(f"tunnel probe FAILED ({detail}) — retrying in subprocesses "
+            f"while >= {warm_run_s:.0f}s of budget remains")
+    attempt = 1
+    while _remaining(deadline) > warm_run_s + probe_budget:
+        time.sleep(min(20.0, max(1.0, _remaining(deadline) - warm_run_s
+                                 - probe_budget)))
+        if _remaining(deadline) <= warm_run_s + probe_budget:
+            break
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable,
+                 os.path.join(_REPO, "tools", "tunnel_probe.py"),
+                 str(probe_budget)],
+                timeout=probe_budget + 60.0,
+                capture_output=True).returncode
+        except subprocess.TimeoutExpired:  # wedged child — treat as down
+            rc = 1
+        _status(f"probe attempt {attempt}: "
+                f"{'OK' if rc == 0 else 'down'} "
+                f"(remaining {_remaining(deadline):.0f}s)")
+        if rc == 0:
+            return "reexec"
+    return "down"
 
 
 def main():
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "540"))
     _status(f"profile={os.environ.get('PROFILE', 'quant_static')} "
-            f"deadline={deadline:.0f}s backend={jax.default_backend()}")
+            f"deadline={deadline:.0f}s backend={jax.default_backend()} "
+            f"elapsed-since-anchor={time.perf_counter() - _T0:.1f}s")
 
-    # pre-flight tunnel probe (CLAUDE.md rule): tiny matmul + host readback
-    # in a watchdog thread — a dead tunnel hangs even this, so fail fast
-    # with a parse-able record instead of running to the driver's timeout.
-    from tools.tunnel_probe import probe_device
-    probe_budget = min(60.0, deadline / 4)
-    ok, detail = probe_device(probe_budget)
-    if not ok:
-        _status(f"tunnel probe FAILED ({detail}) — aborting before any "
-                "device work")
-        _emit(None, error=f"tunnel_down ({detail})")
+    # pre-flight tunnel probe with flap-riding retries (CLAUDE.md rule)
+    verdict = _probe_retry_loop(deadline)
+    if verdict == "down":
+        _status("tunnel down through the whole retry budget — aborting "
+                "before any device work")
+        _emit(None, error="tunnel_down (timeout)")
         # abandoned daemon probe thread may still hold the backend; exit hard
         os._exit(0)
-    _status(f"tunnel probe ok ({detail}s)")
+    if verdict == "reexec":
+        # window opened after an in-process probe hang: restart on a fresh
+        # backend client; BENCH_T0 in env keeps the global deadline honest
+        _status("window open — re-exec on a fresh backend client")
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.execv(sys.executable, [sys.executable,
+                                  os.path.abspath(__file__)])
 
     state = {"phase": "import"}
 

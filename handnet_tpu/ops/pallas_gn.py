@@ -35,9 +35,10 @@ STANDALONE OP ONLY since round 4: on-chip it wins 13-67x in isolation
 (tools/bench_gn_matrix.py, 2026-08-20 — below even the exact two-pass
 default on both the fast and quant_static profiles): the pallas_call is an
 opaque fusion barrier, so the tower convs' epilogues XLA normally fuses
-into the stats reads come back as extra HBM passes. The serving flag
-(FCOSConfig.pallas_gn) was removed; the shipped fast path is flax
-``use_fast_variance=True`` (FCOSConfig.gn_fast_variance, +5% e2e).
+into the stats reads come back as extra HBM passes. The former serving
+flag was removed in round 4 (no config field references this op anymore);
+the shipped fast path is flax ``use_fast_variance=True``
+(FCOSConfig.gn_fast_variance, +5% e2e).
 
 Reference counterpart: the torch ``nn.GroupNorm`` inside the FCOS head
 towers (fcos_utils/fcos.py:235-240,355-360) — semantics identical, this is

@@ -38,6 +38,17 @@ def setup(cache_dir: Optional[str] = None,
     """
     import jax
 
+    platform = os.environ.get("HANDNET_PLATFORM")
+    if platform:
+        # uniform backend override for every CLI/tool entry point. The
+        # sandbox's sitecustomize pins jax_platforms="axon,cpu" in jax
+        # CONFIG at interpreter start, so plain JAX_PLATFORMS env is
+        # ignored (CLAUDE.md); HANDNET_PLATFORM=cpu is how the training
+        # tools and studies run host-side while the TPU tunnel is down.
+        # Must win before first backend use — setup() runs at entry-point
+        # import, ahead of any device op.
+        jax.config.update("jax_platforms", platform)
+
     cache_dir = (cache_dir or os.environ.get("HANDNET_XLA_CACHE")
                  or os.path.expanduser("~/.cache/handnet_tpu_xla"))
     os.makedirs(cache_dir, exist_ok=True)

@@ -107,6 +107,89 @@ def test_pose2mesh_parity_vs_reference():
     np.testing.assert_allclose(np.asarray(mesh), data["mesh"], atol=1e-2)
 
 
+def _match_detections(our, fixture_boxes, fixture_scores, box_atol=1e-1,
+                      score_atol=1e-3):
+    """Compare a fixed-shape valid-masked detection dict against the
+    reference's variable-length per-image lists: both sorted by score, the
+    overlapping prefix must agree. The reference truncates at its own
+    score/NMS knobs, so only assert on min(len) pairs."""
+    valid = np.asarray(our["valid"]).astype(bool)
+    boxes = np.asarray(our["boxes"])[valid]
+    scores = np.asarray(our["scores"])[valid]
+    order = np.argsort(-scores)
+    boxes, scores = boxes[order], scores[order]
+    ref_order = np.argsort(-np.asarray(fixture_scores))
+    k = min(len(boxes), len(ref_order))
+    assert k > 0 or len(ref_order) == 0
+    np.testing.assert_allclose(scores[:k],
+                               np.asarray(fixture_scores)[ref_order][:k],
+                               atol=score_atol)
+    np.testing.assert_allclose(boxes[:k],
+                               np.asarray(fixture_boxes)[ref_order][:k],
+                               atol=box_atol)
+
+
+def test_fcos_parity_vs_reference():
+    """frames -> detections vs the published FCOS checkpoint at the parity
+    geometry (the reference's min-800 GeneralizedRCNNTransform resize,
+    fcos_utils/fcos.py:501-505)."""
+    data = _fixture("fcos_stage.npz")
+    sd_path = os.path.join(FIXTURE_DIR, "fcos_state_dict.npz")
+    if not os.path.exists(sd_path):
+        pytest.skip("fcos_state_dict.npz not present")
+    import jax
+    import jax.numpy as jnp
+
+    from handnet_tpu.config import FCOSConfig
+    from handnet_tpu.convert.torch_weights import convert_fcos
+    from handnet_tpu.models.fcos import FCOSSystem
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_fcos(dict(np.load(sd_path))))
+    system = FCOSSystem(FCOSConfig(num_classes=2, ext=False,
+                                   image_h=800, image_w=1088))
+    frames = np.transpose(data["frames"], (0, 2, 3, 1))
+    out = system.detect(variables, jnp.asarray(frames))
+    for i in range(len(frames)):
+        _match_detections({k: np.asarray(v)[i] for k, v in out.items()},
+                          data[f"det{i}_boxes"], data[f"det{i}_scores"])
+
+
+def test_faster_rcnn_parity_vs_reference():
+    """frames -> detections vs a published res34 Faster R-CNN checkpoint
+    (trainval_net_fcos.py:187) through convert_faster_rcnn +
+    models/faster_rcnn.FasterRCNNFPN + decode_rcnn_detections."""
+    data = _fixture("faster_rcnn_stage.npz")
+    sd_path = os.path.join(FIXTURE_DIR, "faster_rcnn_state_dict.npz")
+    if not os.path.exists(sd_path):
+        pytest.skip("faster_rcnn_state_dict.npz not present")
+    import jax
+    import jax.numpy as jnp
+
+    from handnet_tpu.convert.torch_weights import convert_faster_rcnn
+    from handnet_tpu.models.faster_rcnn import (FasterRCNNFPN,
+                                                decode_rcnn_detections)
+    from handnet_tpu.models.fcos import preprocess
+    from handnet_tpu.config import FCOSConfig
+
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_faster_rcnn(dict(np.load(sd_path))))
+    cfg = FCOSConfig(num_classes=3, image_h=800, image_w=1088)
+    model = FasterRCNNFPN(num_classes=3, image_h=800, image_w=1088,
+                          num_proposals=128)
+    frames = np.transpose(data["frames"], (0, 2, 3, 1))
+    net_in, _ = preprocess(jnp.asarray(frames), cfg)
+    out = model.apply(variables, net_in, train=False)
+    det = decode_rcnn_detections(out, 3, score_thresh=0.05,
+                                 image_hw=(800, 1088))
+    scale = min(800 / 480, 1088 / 640)
+    for i in range(len(frames)):
+        per = {k: np.asarray(v)[i] for k, v in det.items()}
+        per["boxes"] = per["boxes"] / scale  # resize_boxes back to frame
+        _match_detections(per, data[f"det{i}_boxes"],
+                          data[f"det{i}_scores"])
+
+
 def test_mano_parity_vs_reference():
     data = _fixture("mano_stage.npz")
     mano_npz = os.path.join(FIXTURE_DIR, "mano_right.npz")

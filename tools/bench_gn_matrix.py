@@ -8,8 +8,16 @@ STANDALONE (tools/gn_pallas_probe.py) — came in BELOW the exact default
 in-pipeline (1372.3 / 1056.3): the pallas_call is a fusion barrier for
 the tower convs' epilogues. Consequence: gn_fast_variance ships ON in the
 serving yamls and the pallas serving flag was removed (the kernel stays
-as a standalone op), so the variants here are now "default" (shipped,
-fast variance on) and "exact" (GNFV=0 kill-switch, two-pass GN).
+as a standalone op). NOTE: those pallas rows were measured with the
+PRE-REMOVAL tree (commit 76652d0's parent; the PGN knob and
+FCOSConfig.pallas_gn are deleted) and cannot be reproduced with the
+committed tool — kept here as the recorded decision evidence only.
+
+Current variants: "default" (shipped: fast variance on, pallas A2J decode
+on TPU), "exact" (GNFV=0 kill-switch, two-pass GN), and "einsum_decode"
+(A2JDEC=einsum: the portable einsum A2J decode instead of the pallas
+kernel — prices the last shipped pallas path in-pipeline at the GNFV
+default; claimed noise-level in round 3, re-checked here).
 
 Window-to-window tunnel congestion skews cross-run comparisons (the same
 graph measured 1226 vs 1579 fps in different windows — CLAUDE.md), so this
@@ -54,6 +62,9 @@ import numpy as np  # noqa: E402
 VARIANT_ENVS = {
     "default": {},
     "exact": {"GNFV": "0"},
+    # A2JDEC is not a config field: it forces A2JSystem.decode_pallas off
+    # (time_variant applies it to the pipe object, mirroring bench.py)
+    "einsum_decode": {"A2JDEC": "einsum"},
 }
 
 _T0 = time.perf_counter()
@@ -122,8 +133,11 @@ def _measure(state, variants, profile, iters, batch_override=None):
         rng.uniform(0.3, 1.0, size=(batch, img_h, img_w)).astype(np.float32))
 
     def time_variant(name):
-        cfg = _cfg({**base_env, **VARIANT_ENVS[name]})
+        env = {**base_env, **VARIANT_ENVS[name]}
+        cfg = _cfg({k: v for k, v in env.items() if k != "A2JDEC"})
         pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
+        if env.get("A2JDEC") == "einsum":
+            pipe.a2j.decode_pallas = False
         fwd = jax.jit(lambda v, im, d: pipe(v, im, d)["joints_uvd"])
         state["phase"] = f"{name}: compile"
         _status(f"{name}: compiling")
@@ -195,7 +209,9 @@ def main():
     if worker.is_alive():
         _status(f"DEADLINE in phase: {state['phase']}")
         _emit("matrix", None, error=f"deadline_exceeded ({state['phase']})")
-        os._exit(0)
+        # nonzero like the tunnel-down path: queue automation keyed on exit
+        # status must not read a timed-out, incomplete matrix as success
+        os._exit(1)
     if "error" in state:
         _emit("matrix", None, error=state["error"])
         os._exit(1)

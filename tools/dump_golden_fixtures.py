@@ -114,6 +114,34 @@ def dump_fcos(out_dir: str, checkpoint: str, n: int = 2, seed: int = 0):
     _dump_state_dict(out_dir, "fcos_state_dict.npz", model)
 
 
+def dump_faster_rcnn(out_dir: str, checkpoint: str, n: int = 2,
+                     seed: int = 0, num_layers: int = 34):
+    """The reference's alternative detector (trainval_net_fcos.py:187:
+    ``FasterRCNN(num_classes=num_classes, num_layers=int(args.net[3:]))``).
+    The TPU rebuild (models/faster_rcnn.FasterRCNNFPN) is at resnet34 depth,
+    so dump a res34 checkpoint; other depths won't map through
+    convert_faster_rcnn."""
+    import torch
+    from fpn_utils.faster_rcnn_fpn import FasterRCNN  # reference import
+
+    rng = np.random.default_rng(seed)
+    model = FasterRCNN(num_classes=3, num_layers=num_layers)
+    sd = torch.load(checkpoint, map_location="cpu")
+    model.load_state_dict(sd.get("model", sd), strict=False)
+    model.eval()
+
+    frames = rng.uniform(size=(n, 3, 480, 640)).astype(np.float32)
+    with torch.no_grad():
+        dets = model([torch.tensor(f) for f in frames], None)
+    np.savez(os.path.join(out_dir, "faster_rcnn_stage.npz"),
+             frames=frames,
+             **{f"det{i}_{k}": np.asarray(d[k])
+                for i, d in enumerate(dets)
+                for k in ("boxes", "scores", "labels")})
+    print(f"faster_rcnn_stage.npz: {len(dets)} images")
+    _dump_state_dict(out_dir, "faster_rcnn_state_dict.npz", model)
+
+
 def dump_mano(out_dir: str, mano_root: str, n: int = 4, seed: int = 0):
     import torch
     from manopth.manolayer import ManoLayer  # reference import
@@ -141,6 +169,8 @@ if __name__ == "__main__":
     parser.add_argument("--out-dir", default="fixtures")
     parser.add_argument("--a2j-checkpoint", default="models/a2j.pth")
     parser.add_argument("--fcos-checkpoint", default="models/fcos.pth")
+    parser.add_argument("--rcnn-checkpoint", default="models/faster_rcnn.pth")
+    parser.add_argument("--rcnn-layers", type=int, default=34)
     parser.add_argument("--pose2mesh-checkpoint",
                         default="experiment/pose2mesh_manoJ_train_freihand/"
                                 "final.pth.tar")
@@ -151,6 +181,9 @@ if __name__ == "__main__":
         dump_a2j(args.out_dir, args.a2j_checkpoint)
     if os.path.exists(args.fcos_checkpoint):
         dump_fcos(args.out_dir, args.fcos_checkpoint)
+    if os.path.exists(args.rcnn_checkpoint):
+        dump_faster_rcnn(args.out_dir, args.rcnn_checkpoint,
+                         num_layers=args.rcnn_layers)
     if os.path.exists(args.pose2mesh_checkpoint):
         dump_pose2mesh(args.out_dir, args.pose2mesh_checkpoint)
     if os.path.isdir(args.mano_root):
