@@ -223,9 +223,15 @@ def _probe_retry_loop(deadline):
     # a warm run (persistent XLA cache + pre-baked calibration) is ~2-3 min
     # device time; keep retrying while that still fits before the deadline
     warm_run_s = float(os.environ.get("BENCH_WARM_RUN_S", "170"))
-    probe_budget = min(30.0, deadline / 8)
+    # 45s: the subprocess pays a fresh jax import (~10s at full core, much
+    # more when a CPU training shares the box) before its readback clock
+    probe_budget = min(45.0, deadline / 8)
 
-    ok, detail = probe_device(probe_budget)
+    # first probe gets a bigger budget: a FRESH process's backend handshake
+    # + tiny-matmul compile through a congested-but-up tunnel was observed
+    # at 10-19s healthy and >30s congested (2026-08-20 09:32: the queue's
+    # probe passed at 10.6s, this one timed out at 30s seconds later)
+    ok, detail = probe_device(min(60.0, deadline / 4))
     if ok:
         _status(f"tunnel probe ok ({detail}s)")
         return "ok"

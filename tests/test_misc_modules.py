@@ -134,6 +134,27 @@ def test_runtime_multihost_hooks(monkeypatch):
     assert (sid, n) == (0, 1)            # single-process in tests
 
 
+def test_runtime_platform_override(monkeypatch):
+    """HANDNET_PLATFORM forces jax_platforms through setup() — the uniform
+    CPU kill-switch for training tools while the TPU tunnel is down (plain
+    JAX_PLATFORMS env is ignored: sitecustomize pins the CONFIG value)."""
+    import jax
+
+    from handnet_tpu import runtime
+
+    updates = []
+    monkeypatch.setattr(jax.config, "update",
+                        lambda k, v: updates.append((k, v)))
+    monkeypatch.setenv("HANDNET_PLATFORM", "cpu")
+    runtime.setup(distributed=False)
+    assert ("jax_platforms", "cpu") in updates
+
+    updates.clear()
+    monkeypatch.delenv("HANDNET_PLATFORM")
+    runtime.setup(distributed=False)
+    assert not any(k == "jax_platforms" for k, _ in updates)
+
+
 def test_prefetch_loader_shard_math():
     """Every shard gets the same ceil(n/num_shards) count (pjit needs equal
     per-host batches) and the union covers the dataset."""
