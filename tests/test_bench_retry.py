@@ -1,13 +1,18 @@
 """bench.py tunnel-flap retry loop (round-5 hardening, VERDICT r4 item 1a).
 
 The round-4 bench died on one 60 s probe while 480 s of budget went
-unused; the retry loop must (a) pass straight through when the tunnel is
-healthy, (b) keep probing in subprocesses while the remaining budget still
-fits a warm measurement and return 'reexec' the moment a window opens,
-(c) give up with 'down' — never hang — when the tunnel stays dead, and
-(d) keep the global deadline anchored across the re-exec via BENCH_T0.
+unused; round 5 restructured the flow so every probe runs in a SUBPROCESS
+(this process's backend client must never issue a device op before a probe
+has passed — a hung in-process readback would wedge the client the
+measurement needs, which is what forced round 4's re-exec dance) and the
+loop must (a) return 'ok' the moment a probe subprocess succeeds,
+(b) keep probing while the remaining budget still fits a warm measurement,
+(c) give up with 'down' — never hang — when the tunnel stays dead,
+(d) keep the global deadline anchored across processes via BENCH_T0, and
+(e) skip probing entirely under BENCH_ASSUME_UP=1 (the window queue just
+probed; in-window seconds are the scarce resource).
 
-probe_device / subprocess.run are monkeypatched — no device work here.
+subprocess.run is monkeypatched — no device work here.
 """
 
 import os
@@ -29,25 +34,25 @@ def bench_mod():
     bench._T0 = old_t0
 
 
-def test_healthy_tunnel_passes_through(bench_mod, monkeypatch):
+class _RC:
+    def __init__(self, rc):
+        self.returncode = rc
+
+
+def test_healthy_tunnel_one_subprocess_probe(bench_mod, monkeypatch):
     calls = []
-    monkeypatch.setattr("tools.tunnel_probe.probe_device",
-                        lambda budget: (calls.append(budget) or (True, 1.2)))
     monkeypatch.setattr(
-        subprocess, "run",
-        lambda *a, **k: pytest.fail("healthy path must not spawn probes"))
+        subprocess, "run", lambda *a, **k: (calls.append(a) or _RC(0)))
+    # the in-process probe path must be gone entirely
+    monkeypatch.setattr(
+        "tools.tunnel_probe.probe_device",
+        lambda budget: pytest.fail("probe must never run in-process"))
     assert bench_mod._probe_retry_loop(540.0) == "ok"
     assert len(calls) == 1
 
 
 def test_dead_tunnel_returns_down_within_budget(bench_mod, monkeypatch):
-    monkeypatch.setattr("tools.tunnel_probe.probe_device",
-                        lambda budget: (False, "timeout"))
-
-    class _RC:
-        returncode = 1
-
-    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _RC())
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _RC(1))
     monkeypatch.setenv("BENCH_WARM_RUN_S", "0.5")
     t0 = time.perf_counter()
     assert bench_mod._probe_retry_loop(3.0) == "down"
@@ -55,26 +60,16 @@ def test_dead_tunnel_returns_down_within_budget(bench_mod, monkeypatch):
     assert time.perf_counter() - t0 < 4.0
 
 
-def test_recovered_window_requests_reexec(bench_mod, monkeypatch):
-    monkeypatch.setattr("tools.tunnel_probe.probe_device",
-                        lambda budget: (False, "timeout"))
+def test_recovered_window_returns_ok(bench_mod, monkeypatch):
     rcs = iter([1, 0])  # first subprocess probe down, second finds a window
-
-    class _RC:
-        def __init__(self, rc):
-            self.returncode = rc
-
-    monkeypatch.setattr(subprocess, "run",
-                        lambda *a, **k: _RC(next(rcs)))
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _RC(next(rcs)))
     monkeypatch.setenv("BENCH_WARM_RUN_S", "0.1")
-    assert bench_mod._probe_retry_loop(60.0) == "reexec"
+    assert bench_mod._probe_retry_loop(60.0) == "ok"
 
 
 def test_wedged_probe_subprocess_counts_as_down(bench_mod, monkeypatch):
     """A child that neither exits nor answers (tunnel half-dead) must be
     treated as a failed attempt, not crash the loop."""
-    monkeypatch.setattr("tools.tunnel_probe.probe_device",
-                        lambda budget: (False, "timeout"))
 
     def _hang(*a, **k):
         raise subprocess.TimeoutExpired(cmd="probe", timeout=k["timeout"])
@@ -84,12 +79,27 @@ def test_wedged_probe_subprocess_counts_as_down(bench_mod, monkeypatch):
     assert bench_mod._probe_retry_loop(3.0) == "down"
 
 
-def test_deadline_anchor_survives_reexec(bench_mod):
+def test_assume_up_skips_probing(bench_mod, monkeypatch):
+    monkeypatch.setattr(
+        subprocess, "run",
+        lambda *a, **k: pytest.fail("BENCH_ASSUME_UP must not probe"))
+    monkeypatch.setenv("BENCH_ASSUME_UP", "1")
+    assert bench_mod._probe_verdict(540.0) == "ok"
+
+
+def test_no_assume_up_delegates_to_retry_loop(bench_mod, monkeypatch):
+    monkeypatch.delenv("BENCH_ASSUME_UP", raising=False)
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _RC(0))
+    assert bench_mod._probe_verdict(540.0) == "ok"
+
+
+def test_deadline_anchor_survives_child_processes(bench_mod):
     """BENCH_T0 is written once and _T0 is derived from it: a process that
-    re-execs 100 s in sees 100 s already elapsed, not a fresh clock."""
+    starts 100 s into the budget sees 100 s already elapsed, not a fresh
+    clock."""
     assert "BENCH_T0" in os.environ  # set at module import
     anchored = float(os.environ["BENCH_T0"])
-    # simulate the re-exec'd process: same env anchor, later wall clock
+    # simulate a later process: same env anchor, later wall clock
     t0_new = time.perf_counter() - (time.time() - anchored)
     elapsed = time.perf_counter() - t0_new
     assert elapsed >= 0.0
