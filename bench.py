@@ -52,7 +52,6 @@ structure minimises the window length a measurement needs:
      start via BENCH_T0) that names the hung phase in the error JSON.
 """
 
-import hashlib
 import json
 import os
 import sys
@@ -125,26 +124,14 @@ def bench_calib_path(cfg):
     return os.path.join(_REPO, "configs", "bench_calib.npz")
 
 
-def _params_cache_path(cfg, dtype):
-    """Host-built seed-0 param tree cache: random-init costs ~3 min of pure
-    host CPU on the 1-core sandbox — pay it once per config, not per run.
-    Keyed by the full config repr (architecture + any override) + dtype."""
-    key = hashlib.sha1(f"{cfg!r}|{dtype}".encode()).hexdigest()[:16]
-    root = os.path.join(os.path.expanduser("~"), ".cache",
-                        "handnet_tpu_params")
-    os.makedirs(root, exist_ok=True)
-    return os.path.join(root, f"bench_{key}.msgpack")
-
-
 def _host_prepare():
     """Everything the measurement needs that does NOT touch the tunnel:
     config, pipeline, seed-0 params (cached), pre-baked calibration merged
     into the tree, input frames as host numpy. Runs before any probe so a
     tunnel window is spent only on transfer+compile+loop."""
-    from flax import serialization
-
     from handnet_tpu.models.pipeline import HandNetPipeline
     from handnet_tpu.nn import quant as quantlib
+    from handnet_tpu.utils.parcache import seed_params
 
     cfg = resolve_config()
     batch = cfg.train.batch_size
@@ -159,24 +146,7 @@ def _host_prepare():
         pipe.a2j.decode_pallas = False
 
     cpu0 = jax.local_devices(backend="cpu")[0]
-    cache = _params_cache_path(cfg, dtype.__name__)
-    variables = None
-    if os.path.exists(cache):
-        try:
-            with open(cache, "rb") as f:
-                variables = serialization.msgpack_restore(f.read())
-            _status(f"loaded cached seed-0 params ({cache})")
-        except Exception as e:  # corrupt/stale — rebuild below
-            _status(f"param cache unusable ({e!r}); rebuilding")
-            variables = None
-    if variables is None:
-        _status("building seed-0 params on host cpu (~3 min first time)")
-        with jax.default_device(cpu0):
-            variables = pipe.init(jax.random.PRNGKey(0))
-        variables = jax.tree_util.tree_map(np.asarray, variables)
-        with open(cache, "wb") as f:
-            f.write(serialization.msgpack_serialize(variables))
-        _status("params built and cached")
+    variables = seed_params(pipe, cfg, dtype.__name__, status=_status)
 
     needs_live_calibration = False
     if pipe.needs_calibration():

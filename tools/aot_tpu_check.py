@@ -86,9 +86,10 @@ def _check(state, args):
     # not decode-vs-decode (pallas-vs-einsum is fp-equal but not bit-equal)
     pipe.a2j.decode_pallas = False
 
+    from handnet_tpu.utils.parcache import seed_params
+
     state["phase"] = "init params (host cpu)"
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        variables = pipe.init(jax.random.PRNGKey(0))
+    variables = seed_params(pipe, cfg, "bfloat16", status=_status)
     if pipe.needs_calibration():
         state["phase"] = "load calibration"
         variables = quantlib.load_calibration(

@@ -113,10 +113,11 @@ def _measure(state, variants, profile, iters, batch_override=None):
     # CPU smoke, which feeds the shrunk geometry directly
     img_h, img_w = (192, 256) if smoke else (480, 640)
 
+    from handnet_tpu.utils.parcache import seed_params
+
     pipe0 = HandNetPipeline(cfg0, dtype=jnp.bfloat16)
     state["phase"] = "init params (host cpu)"
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        variables = pipe0.init(jax.random.PRNGKey(0))
+    variables = seed_params(pipe0, cfg0, "bfloat16", status=_status)
     if pipe0.needs_calibration():
         calib = bench.bench_calib_path(cfg0)
         state["phase"] = "load calibration"

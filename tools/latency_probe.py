@@ -85,9 +85,18 @@ def probe_server_trickle(cfg, hz: float, frames: int, batch: int,
     sparse arrival process — the regime where a partial microbatch
     otherwise pays for batch_size-1 padding frames of compute."""
     from handnet_tpu.apps.serve import PipelineServer
+    from handnet_tpu.utils.parcache import seed_params
 
+    # seed-0 params from the host cache + ONE bulk transfer — never let the
+    # server random-init on the remote device (CLAUDE.md tunnel rule)
+    pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
+    variables = jax.device_put(
+        seed_params(pipe, cfg, "bfloat16",
+                    status=lambda m: print(f"[latency] {m}", file=sys.stderr,
+                                           flush=True)),
+        jax.devices()[0])
     server = PipelineServer(cfg, batch_size=batch, batch_buckets=buckets,
-                            flush_timeout=0.002)
+                            flush_timeout=0.002, variables=variables)
     if server.pipe.needs_calibration():
         rng = np.random.default_rng(1)
         server.calibrate(rng.uniform(size=(4, 480, 640, 3)),
@@ -140,8 +149,11 @@ def main(argv=None):
             cfg, args.server_trickle, args.frames, args.batch, buckets)))
         return
 
+    from handnet_tpu.utils.parcache import seed_params
+
     pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
-    variables = pipe.init(jax.random.PRNGKey(0))
+    variables = jax.device_put(seed_params(pipe, cfg, "bfloat16"),
+                               jax.devices()[0])
     if pipe.needs_calibration():
         rng = np.random.default_rng(1)
         variables = pipe.calibrate(
