@@ -253,12 +253,18 @@ class ServingArtifact:
         bucket = self._bucket_for(n)
         pad = bucket - n
         if pad:
-            rgb = np.concatenate([rgb, np.zeros_like(rgb[:pad])], axis=0)
-            depth = np.concatenate([depth, np.zeros_like(depth[:pad])],
-                                   axis=0)
+            # explicit shapes: zeros_like(rgb[:pad]) silently under-pads
+            # when pad > n (caught by the first real-TPU artifact run,
+            # bucket 8 / n 3 — the CPU smoke's bucket 2 couldn't hit it)
+            rgb = np.concatenate(
+                [rgb, np.zeros((pad, *rgb.shape[1:]), rgb.dtype)], axis=0)
+            depth = np.concatenate(
+                [depth, np.zeros((pad, *depth.shape[1:]), depth.dtype)],
+                axis=0)
             if paras is not None:
                 paras = np.concatenate(
-                    [paras, np.ones_like(paras[:pad])], axis=0)
+                    [paras, np.ones((pad, *paras.shape[1:]), paras.dtype)],
+                    axis=0)
         args = [self.variables, rgb, depth]
         if self.with_xyz:
             if paras is None:

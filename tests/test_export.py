@@ -253,3 +253,25 @@ def test_server_from_artifact_rejects_unexported_field(tmp_path, rng):
                     platforms=("cpu",))
     with pytest.raises(ValueError, match="does not emit"):
         PipelineServer.from_artifact(out, out_fields=("joints_uvd", "boxes"))
+
+
+def test_pad_exceeds_partial_batch(tmp_path, rng):
+    """bucket 4, n=1 -> pad 3 > n. The original zeros_like(rgb[:pad])
+    under-padded whenever pad > n (it can only yield n rows), which the
+    CPU smoke's small buckets never hit — caught by the first real-TPU
+    artifact run (round 5, bucket 8 / n 3: 'expected (8,...) called with
+    (6,...)'). Padding rows must also never leak into the output."""
+    pipe = HandNetPipeline(CFG)
+    variables = pipe.init(jax.random.PRNGKey(0))
+    out = str(tmp_path / "pipeline")
+    export_pipeline(CFG, variables, out, buckets=(4,), frame_hw=HW,
+                    dtype=jnp.float32, platforms=("cpu",))
+    art = ServingArtifact.load(out)
+    pipe.a2j.decode_pallas = False  # match the artifact's portable decode
+    rgb, depth = _frames(1, rng)
+    got = art.predict(rgb, depth)
+    assert got["joints_uvd"].shape == (1, 21, 3)
+    ref = pipe(variables, jnp.asarray(rgb), jnp.asarray(depth))
+    np.testing.assert_allclose(got["joints_uvd"],
+                               np.asarray(ref["joints_uvd"]),
+                               rtol=1e-6, atol=1e-6)

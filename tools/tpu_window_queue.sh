@@ -48,7 +48,7 @@ CMD[bench_default]='BENCH_ASSUME_UP=1 BENCH_DEADLINE_S=1400 timeout 1500 python 
 SUCC[bench_default]='"value": [0-9]'
 CMD[bench_confirm]='BENCH_ASSUME_UP=1 BENCH_DEADLINE_S=300 timeout 360 python bench.py'
 SUCC[bench_confirm]='"value": [0-9]'
-CMD[aot]='AOT_DEADLINE_S=900 timeout 1000 python tools/aot_tpu_check.py'
+CMD[aot]='AOT_ASSUME_UP=1 AOT_DEADLINE_S=420 timeout 480 python tools/aot_tpu_check.py'
 SUCC[aot]='"check": "aot_vs_live".*"ok": true'
 CMD[entry]='timeout 900 python __graft_entry__.py'
 SUCC[entry]='entry ok'
