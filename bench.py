@@ -139,11 +139,13 @@ def _host_prepare():
 
     pipe = HandNetPipeline(cfg, dtype=dtype)
     if os.environ.get("A2JDEC") == "einsum":
-        # force the portable einsum A2J decode (default on TPU is the
-        # pallas kernel, models/a2j.py:A2JSystem.decode_pallas) — the
-        # bench_gn_matrix variant row that prices the pallas decode
-        # in-pipeline at the shipped GNFV default
+        # explicit einsum decode — redundant since round 5 (einsum IS the
+        # default, models/a2j.py:a2j_postprocess) but kept so older matrix
+        # rows stay reproducible verbatim
         pipe.a2j.decode_pallas = False
+    elif os.environ.get("A2JDEC") == "pallas":
+        # re-price the standalone pallas decode kernel in-pipeline
+        pipe.a2j.decode_pallas = True
 
     cpu0 = jax.local_devices(backend="cpu")[0]
     variables = seed_params(pipe, cfg, dtype.__name__, status=_status)

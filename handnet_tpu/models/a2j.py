@@ -121,13 +121,21 @@ def a2j_postprocess(heads: Dict[str, jnp.ndarray], anchors: jnp.ndarray,
     Replaces the reference's per-image loop + CPU sync (a2j/anchor.py:57-82,
     a2j/a2j.py:226-229). Two equivalent paths:
 
-    * einsum (XLA): batched softmax + two einsums — portable, used on CPU.
-    * pallas (default on TPU): ops/pallas_a2j.py keeps the softmax weights in
-      VMEM instead of round-tripping the [B, N, P] tensor through HBM —
-      measured 4.5x faster on v5e (2.9ms vs 13.0ms at batch 128).
+    * einsum (XLA, the default): batched softmax + two einsums — portable,
+      lowers for every platform (AOT export uses it), and XLA fuses it into
+      the surrounding pipeline graph.
+    * pallas (opt-in): ops/pallas_a2j.py keeps the softmax weights in VMEM
+      instead of round-tripping the [B, N, P] tensor through HBM — measured
+      4.5x faster STANDALONE on v5e (2.9ms vs 13.0ms at batch 128), but
+      IN-PIPELINE the einsum path measured at or slightly above it in the
+      same window (1684.0 vs 1659.8 fps e2e, tools/bench_gn_matrix.py
+      2026-08-21) — the pallas_call is a fusion barrier for the surrounding
+      graph, the same mechanism that killed the pallas GN serving flag
+      (round 4). Einsum has been the default since round 5; it also makes
+      live serving bit-identical to the exported AOT artifact.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() != "cpu"
+        use_pallas = False
     if use_pallas and "depth" in heads:
         from handnet_tpu.ops.pallas_a2j import a2j_decode_pallas
 
@@ -203,10 +211,11 @@ class A2JSystem:
         self.cfg = cfg or A2JConfig()
         self.module = A2J(cfg=self.cfg, norm=norm, dtype=dtype)
         self.anchors = jnp.asarray(anchors_for(self.cfg))
-        # Decode-path override: None = pick by backend (pallas on TPU,
-        # einsum on CPU). handnet_tpu.export sets False so AOT artifacts
-        # lower portably for every export platform (a Mosaic custom-call
-        # can't cross-compile for cpu).
+        # Decode-path override: None/False = the portable einsum decode
+        # (default since round 5 — in-pipeline it measured >= the pallas
+        # kernel, which is a fusion barrier; see a2j_postprocess). True
+        # opts the standalone pallas kernel back in (A2JDEC=pallas in
+        # bench.py / bench_gn_matrix re-prices it).
         self.decode_pallas: Optional[bool] = None
 
     def init(self, rng, batch_size: int = 1):

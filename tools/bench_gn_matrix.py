@@ -62,9 +62,14 @@ import numpy as np  # noqa: E402
 VARIANT_ENVS = {
     "default": {},
     "exact": {"GNFV": "0"},
-    # A2JDEC is not a config field: it forces A2JSystem.decode_pallas off
-    # (time_variant applies it to the pipe object, mirroring bench.py)
+    # A2JDEC is not a config field: time_variant applies it to the pipe
+    # object, mirroring bench.py. Since round 5 the DEFAULT decode is the
+    # einsum path (models/a2j.py — decided by this tool's 2026-08-21 run:
+    # einsum 1684.0 vs pallas-decode default2 1659.8 same-window), so
+    # "einsum_decode" is redundant with "default" and kept only for
+    # comparability with older rows; "pallas_decode" re-prices the kernel.
     "einsum_decode": {"A2JDEC": "einsum"},
+    "pallas_decode": {"A2JDEC": "pallas"},
 }
 
 _T0 = time.perf_counter()
@@ -139,6 +144,8 @@ def _measure(state, variants, profile, iters, batch_override=None):
         pipe = HandNetPipeline(cfg, dtype=jnp.bfloat16)
         if env.get("A2JDEC") == "einsum":
             pipe.a2j.decode_pallas = False
+        elif env.get("A2JDEC") == "pallas":
+            pipe.a2j.decode_pallas = True
         fwd = jax.jit(lambda v, im, d: pipe(v, im, d)["joints_uvd"])
         state["phase"] = f"{name}: compile"
         _status(f"{name}: compiling")
