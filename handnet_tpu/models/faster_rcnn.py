@@ -397,10 +397,20 @@ def rcnn_loss(outputs: Dict[str, jnp.ndarray],
     tests/test_reference_parity_rcnn.py.
 
     Deviation (documented): the reference stochastically subsamples 512
-    rois/image at 25% positive fraction (BalancedPositiveNegativeSampler);
-    this keeps ALL proposals — deterministic and shape-static — so the
-    sampled set differs, not the math on it. Empty-positive batches yield 0
-    instead of the reference's NaN mean-over-empty.
+    rois/image at 25% positive fraction (BalancedPositiveNegativeSampler,
+    fg cap 128). This keeps ALL proposals — deterministic and shape-static
+    — but weights each fg/bg term by its EXPECTED inclusion probability
+    under that sampler (fg: min(n_fg,128)/n_fg, bg: min(n_bg,512-n_fg_s)/
+    n_bg, denominator n_fg_s+n_bg_s), so the loss equals the expectation of
+    the reference's sampled loss instead of drowning positives in the full
+    background set (the failure mode tools/rcnn_convergence.py caught in
+    round 5: with every proposal kept unweighted, ~1-5 positives vs
+    thousands of negatives trains an all-background classifier whose loss
+    -> 0 while detecting nothing). When counts are under the caps the
+    weights are 1 and the math reduces to the plain mean — which is why the
+    small-input parity tests (test_reference_parity_rcnn.py) are unchanged.
+    Empty-positive batches yield 0 instead of the reference's NaN
+    mean-over-empty.
     """
     props = outputs["proposals"]                   # [B, R, 4]
     iou = jax.vmap(box_ops.box_iou)(props, targets["boxes"])  # [B, R, M]
@@ -414,14 +424,24 @@ def rcnn_loss(outputs: Dict[str, jnp.ndarray],
     fg = best_iou >= 0.5
     bg = (best_iou < 0.5) & (best_iou >= 0.0)
     cls_target = jnp.where(fg, gt_labels, 0)
-    sample = fg | bg
-    n_sample = jnp.maximum(sample.sum(), 1)
+
+    # expectation of torchvision's BalancedPositiveNegativeSampler
+    # (512 rois/image, 25% positive fraction -> fg cap 128/image):
+    # per-roi inclusion-probability weights, computed per image
+    n_fg_i = fg.sum(1)                                     # [B]
+    n_bg_i = bg.sum(1)
+    n_fg_s = jnp.minimum(n_fg_i, 128)
+    n_bg_s = jnp.minimum(n_bg_i, 512 - n_fg_s)
+    w = (fg * (n_fg_s / jnp.maximum(n_fg_i, 1))[:, None]
+         + bg * (n_bg_s / jnp.maximum(n_bg_i, 1))[:, None]
+         ).astype(jnp.float32)
+    n_sample = jnp.maximum((n_fg_s + n_bg_s).sum(), 1)
 
     logits = outputs["scores"].astype(jnp.float32)
     ce = -jax.nn.log_softmax(logits)[
         jnp.arange(logits.shape[0])[:, None],
         jnp.arange(logits.shape[1])[None, :], cls_target]
-    loss_cls = jnp.where(sample, ce, 0.0).sum() / n_sample
+    loss_cls = (w * ce).sum() / n_sample
 
     b, r = fg.shape
     deltas = outputs["deltas"].astype(jnp.float32).reshape(b, r, num_classes, 4)
@@ -439,9 +459,11 @@ def rcnn_loss(outputs: Dict[str, jnp.ndarray],
                                       weights=(10.0, 10.0, 5.0, 5.0))
     n_fg = jnp.maximum(fg.sum(), 1)
     # reference: smooth_l1(beta=1/9, reduction='sum') / labels.numel()
-    # (roi_heads.py:52-58) — the denominator is the TOTAL sampled count
+    # (roi_heads.py:52-58) — the denominator is the TOTAL sampled count;
+    # fg rows carry their sampler inclusion weight (1 under the cap)
     loss_reg = (jnp.where(fg[..., None],
-                          smooth_l1(sel - reg_target, beta=1.0 / 9.0), 0.0)
+                          w[..., None]
+                          * smooth_l1(sel - reg_target, beta=1.0 / 9.0), 0.0)
                 .sum() / n_sample)
 
     losses = {"loss_classifier": loss_cls, "loss_box_reg": loss_reg}
@@ -492,9 +514,16 @@ def rpn_loss(outputs: Dict[str, jnp.ndarray], anchors: jnp.ndarray,
       sampled count, on (1,1,1,1)-weighted encodings.
 
     Deviation (documented): torchvision randomly subsamples 256
-    anchors/image at 50% positive fraction; this keeps every non-ignored
-    anchor — deterministic and shape-static — so the normalizers run over
-    that larger set.
+    anchors/image at 50% positive fraction (fg cap 128). This keeps every
+    non-ignored anchor — deterministic and shape-static — but weights each
+    anchor's term by its EXPECTED inclusion probability under that sampler
+    (fg: min(n_fg,128)/n_fg; bg: min(n_bg,256-n_fg_s)/n_bg; normalizer
+    n_fg_s+n_bg_s), i.e. the loss is the expectation of torchvision's
+    sampled loss. The earlier unweighted mean over ALL ~12k anchors gave
+    the handful of positives ~1/1000 of their reference gradient share and
+    trained an all-background RPN (loss -> 0, zero detections — caught by
+    tools/rcnn_convergence.py, round 5). Under the caps the weights are 1,
+    so the small-input parity tests are unchanged.
     """
     obj = outputs["rpn_objectness"].astype(jnp.float32)     # [B, N]
     deltas = outputs["rpn_deltas"].astype(jnp.float32)      # [B, N, 4]
@@ -515,12 +544,19 @@ def rpn_loss(outputs: Dict[str, jnp.ndarray], anchors: jnp.ndarray,
 
     fg = (best >= 0.7) | lowq
     bg = (best < 0.3) & (best >= 0.0) & ~fg
-    sample = fg | bg
-    n_sample = jnp.maximum(sample.sum(), 1)
+
+    # expectation of torchvision's 256/image 50%-positive anchor sampler
+    n_fg_i = fg.sum(1)                                      # [B]
+    n_bg_i = bg.sum(1)
+    n_fg_s = jnp.minimum(n_fg_i, 128)
+    n_bg_s = jnp.minimum(n_bg_i, 256 - n_fg_s)
+    w = (fg * (n_fg_s / jnp.maximum(n_fg_i, 1))[:, None]
+         + bg * (n_bg_s / jnp.maximum(n_bg_i, 1))[:, None]
+         ).astype(jnp.float32)
+    n_sample = jnp.maximum((n_fg_s + n_bg_s).sum(), 1)
 
     label = fg.astype(jnp.float32)
-    obj_loss = (jnp.where(sample, bce_with_logits(obj, label), 0.0).sum()
-                / n_sample)
+    obj_loss = (w * bce_with_logits(obj, label)).sum() / n_sample
 
     take_rows = jax.vmap(lambda arr, idx: arr[idx])
     matched_gt = take_rows(gt_boxes, match)
@@ -530,6 +566,8 @@ def rpn_loss(outputs: Dict[str, jnp.ndarray], anchors: jnp.ndarray,
     reg_target = box_ops.delta_encode(gt_safe, anchors[None],
                                       weights=(1.0, 1.0, 1.0, 1.0))
     box_loss = (jnp.where(fg[..., None],
-                          smooth_l1(deltas - reg_target, beta=1.0 / 9.0), 0.0)
+                          w[..., None]
+                          * smooth_l1(deltas - reg_target, beta=1.0 / 9.0),
+                          0.0)
                 .sum() / n_sample)
     return {"loss_objectness": obj_loss, "loss_rpn_box_reg": box_loss}
